@@ -1,0 +1,18 @@
+"""Test configuration: CPU backend with a virtual 8-device mesh, float64 on.
+
+Tests validate numerics in float64 on CPU (fast, deterministic); the TPU path
+uses the same dtype-polymorphic code in float32/bfloat16. The environment
+pre-imports jax with the TPU platform, so we must override via jax.config
+(env vars are too late) before any backend is initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
