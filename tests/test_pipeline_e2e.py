@@ -1,0 +1,112 @@
+"""End-to-end pipeline test: synthetic session -> reference-format files ->
+load -> match -> triangulate -> optimize -> save -> verify recovery.
+
+This is the integration test the reference lacks (SURVEY.md section 4 gap):
+ground truth is known, so trajectory ATE and calibration recovery are
+asserted, exercising dual IMUs (secondary inertial factors + omega priors +
+imu extrinsics), calibration windows, random walks, and factory priors.
+"""
+
+import numpy as np
+import pytest
+
+from visual_inertial_bundle_adjustment_tpu.pipeline import session_data as sio
+from visual_inertial_bundle_adjustment_tpu.pipeline.adapter import (
+    AdapterOptions,
+    SessionAdapter,
+)
+from visual_inertial_bundle_adjustment_tpu.pipeline.synthetic import SyntheticSession
+from visual_inertial_bundle_adjustment_tpu.pipeline.synthetic_io import write_session_dir
+from visual_inertial_bundle_adjustment_tpu.problem.optimizer import LMSettings, optimize
+
+
+@pytest.fixture(scope="module")
+def session_dir(tmp_path_factory):
+    path = tmp_path_factory.mktemp("synthetic_session")
+    s = SyntheticSession(
+        duration=6.0, keyframe_hz=5.0, gyro_hz=200.0, accel_hz=200.0,
+        num_points=150, num_cameras=1, seed=11, pixel_noise=0.25,
+    )
+    info = write_session_dir(s, path, num_imus=2, seed=5)
+    return path, s, info
+
+
+def _world_positions(pose_q, pose_t):
+    from visual_inertial_bundle_adjustment_tpu.ops import lie
+    import jax.numpy as jnp
+
+    qi = lie.quat_conj(jnp.asarray(pose_q))
+    return np.asarray(-lie.quat_rotate(qi, jnp.asarray(pose_t)))
+
+
+def test_load_session(session_dir):
+    path, s, info = session_dir
+    sd = sio.load_session(path)
+    assert len(sd.slam_imu_labels) == 2
+    assert sd.traj_pose_q.shape[0] == s.num_rigs
+    # loaded trajectory (converted back to bodyImu) close to noisy GT
+    pos = _world_positions(sd.traj_pose_q, sd.traj_pose_t)
+    gt = s.gt_pos_w
+    err = np.linalg.norm(pos - gt, axis=-1)
+    assert np.median(err) < 0.05, f"median {np.median(err)}"
+    assert len(sd.imu_times_ns) == 2
+    assert len(sd.obs_point_id) > 200
+
+
+def test_full_pipeline_recovery(session_dir, tmp_path):
+    path, s, info = session_dir
+    sd = sio.load_session(path)
+    adapter = SessionAdapter(
+        sd,
+        AdapterOptions(
+            estimate_cam_intr=False,  # short session: intrinsics stay fixed
+            estimate_cam_extr=False,
+            estimate_imu_calib=True,
+            estimate_imu_extr=True,
+            imu_options=dict(accelBias=True, gyroBias=True),
+        ),
+        log=lambda *a: None,
+    )
+    problem = adapter.build()
+    summary = optimize(problem, LMSettings(max_iterations=25, log=None))
+    assert summary.final_cost < summary.initial_cost * 0.2
+
+    v = problem.variables
+    pos = _world_positions(np.asarray(v.pose_q), np.asarray(v.pose_t))
+    rig_rows = [np.nonzero(s.rig_times * 1e6 // 1 == t)[0] for t in adapter.rig_ts_us]
+    gt = s.gt_pos_w
+    ate_before = np.sqrt(
+        np.mean(np.sum((_world_positions(sd.traj_pose_q, sd.traj_pose_t) - gt) ** 2, -1))
+    )
+    ate_after = np.sqrt(np.mean(np.sum((pos - gt) ** 2, -1)))
+    # optimization must improve on the noisy tracker trajectory
+    assert ate_after < ate_before * 0.7, f"ATE {ate_before:.4f} -> {ate_after:.4f}"
+    assert ate_after < 0.02, f"ATE after {ate_after}"
+
+    # gyro bias recovery on the body imu (true value known)
+    from visual_inertial_bundle_adjustment_tpu.models import imu as imu_model
+
+    est_calib = np.asarray(v.imu_calib)[0]  # first window, imu0
+    true_bias = info["imu_calibs"][0][imu_model.GYRO_BIAS]
+    est_bias = est_calib[imu_model.GYRO_BIAS]
+    assert np.linalg.norm(est_bias - true_bias) < 0.01
+
+    # write outputs in the reference format and reload
+    out = tmp_path / "closed_loop_framerate_trajectory.csv"
+    rows = np.asarray([adapter.traj_row[t] for t in adapter.rig_ts_us])
+    sd_out = sio.SessionData(**{**sd.__dict__})
+    sd_out.traj_timestamp_us = sd.traj_timestamp_us[rows]
+    sd_out.traj_utc_ns = sd.traj_utc_ns[rows]
+    sd_out.traj_quality = sd.traj_quality[rows]
+    sd_out.traj_session_uid = [sd.traj_session_uid[r] for r in rows]
+    sio.save_close_loop_trajectory(
+        out, sd_out, np.asarray(v.pose_q), np.asarray(v.pose_t), np.asarray(v.vel),
+        np.asarray(v.omega), np.asarray(v.gravity),
+    )
+    txt = out.read_text().splitlines()
+    assert txt[0].startswith("graph_uid,tracking_timestamp_us")
+    assert len(txt) == 1 + len(adapter.rig_ts_us)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])

@@ -67,7 +67,7 @@ def project(params, point):
     """(..., 15), (..., 3) -> (uv (..., 2), valid (...,) bool)."""
     x, y, z = point[..., 0], point[..., 1], point[..., 2]
     r2 = x * x + y * y
-    r = jnp.sqrt(r2)
+    r = jnp.sqrt(r2 + 1e-30)  # grad-safe on the optical axis
     theta = jnp.arctan2(r, z)
     theta2 = theta * theta
     m = _theta_d(theta2, params[..., K])

@@ -24,6 +24,19 @@ def _safe(x, eps=1e-30):
     return jnp.where(jnp.abs(x) < eps, eps, x)
 
 
+_TINY = 1e-30  # added under sqrt so gradients stay finite at exactly zero
+# (jnp.where protects VALUES of the unselected Taylor branch but its GRADIENT
+# is still evaluated; sqrt(0) has an infinite derivative and 0*inf = NaN)
+
+
+def _safe_sqrt(x):
+    return jnp.sqrt(x + _TINY)
+
+
+def _safe_vecnorm(v, keepdims=False):
+    return jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=keepdims) + _TINY)
+
+
 # ---------------------------------------------------------------------------
 # Quaternions / SO(3)
 # ---------------------------------------------------------------------------
@@ -86,7 +99,7 @@ def so3_hat(w):
 def so3_exp(w):
     """Axis-angle (..., 3) -> quaternion (..., 4)."""
     theta2 = jnp.sum(w * w, axis=-1, keepdims=True)
-    theta = jnp.sqrt(theta2)
+    theta = _safe_sqrt(theta2)
     half = 0.5 * theta
     # sin(x/2)/x and cos(x/2); Taylor: sin(h)/th = 0.5 - th^2/48 + th^4/3840
     small = theta < _SMALL
@@ -105,7 +118,7 @@ def so3_log(q):
     sign = jnp.where(w < 0.0, -1.0, 1.0)
     w = w * sign
     v = v * sign
-    vnorm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    vnorm = _safe_vecnorm(v, keepdims=True)
     # angle = 2*atan2(|v|, w); factor = angle / |v|
     angle = 2.0 * jnp.arctan2(vnorm, w)
     small = vnorm < _SMALL
@@ -163,7 +176,7 @@ def matrix_to_quat(m):
 def so3_left_jacobian(w):
     """Left Jacobian J_l of SO(3) at axis-angle w: (..., 3, 3)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2)
+    theta = _safe_sqrt(theta2)
     small = theta < _SMALL
     # J = I + c1*hat(w) + c2*hat(w)^2, c1 = (1-cos)/th^2, c2 = (th-sin)/th^3
     c1 = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / _safe(theta2))
@@ -178,7 +191,7 @@ def so3_left_jacobian(w):
 def so3_left_jacobian_inverse(w):
     """Inverse left Jacobian J_l^{-1} of SO(3): (..., 3, 3)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2)
+    theta = _safe_sqrt(theta2)
     small = theta < _SMALL
     # Jinv = I - 0.5*hat(w) + c*hat(w)^2, c = 1/th^2 - (1+cos)/(2 th sin)
     half = 0.5 * theta
@@ -258,7 +271,7 @@ def se3_adj(T):
 def _se3_Q(v, w):
     """Barfoot's Q(v, w) block of the SE(3) left Jacobian (tangent [v, w])."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2)
+    theta = _safe_sqrt(theta2)
     small = theta < _SMALL
     th4 = theta2 * theta2
     s, c = jnp.sin(theta), jnp.cos(theta)
@@ -339,7 +352,7 @@ def s2_ortho(v):
 
 def s2_boxplus(vec, radius, step):
     """Tangent-plane retraction with tan() scaling (reference Variable.h:190-198)."""
-    angle = jnp.linalg.norm(step, axis=-1) / radius
+    angle = _safe_vecnorm(step) / radius
     factor = jnp.where(
         angle > 1e-4, jnp.tan(angle) / _safe(angle), 1.0 + angle * angle / 3.0
     )
@@ -353,7 +366,7 @@ def s2_boxminus(vec, base, radius):
     dv = vec / jnp.linalg.norm(vec, axis=-1, keepdims=True) - base / jnp.linalg.norm(
         base, axis=-1, keepdims=True
     )
-    angle = 2.0 * jnp.arcsin(jnp.clip(jnp.linalg.norm(dv, axis=-1) * 0.5, 0.0, 1.0))
+    angle = 2.0 * jnp.arcsin(jnp.clip(_safe_vecnorm(dv) * 0.5, 0.0, 1.0))
     factor = 1.0 / jnp.cos(angle)
     basis = s2_ortho(base)
     return factor[..., None] * jnp.einsum("...ij,...j->...i", basis, dv) * radius

@@ -110,7 +110,7 @@ def rvp_combine_jacs(a: RotVelPos, b: RotVelPos, aJac, bJac):
 
 def _integration_coeffs(theta2, with_derivs: bool):
     """Taylor-guarded closed-form coefficients c1..c3 (and d1..d3)."""
-    theta = jnp.sqrt(theta2)
+    theta = jnp.sqrt(theta2 + 1e-30)  # grad-safe at zero rotation
     th4 = theta2 * theta2
     small = theta < 1e-3
     theta2s = jnp.where(small, jnp.ones_like(theta2), theta2)
@@ -199,7 +199,7 @@ def rvp_differentiate(rvp: RotVelPos) -> RVPInterpolation:
     """
     omega = lie.so3_log(rvp.q)
     theta2 = jnp.sum(omega * omega, axis=-1)
-    theta = jnp.sqrt(theta2)
+    theta = jnp.sqrt(theta2 + 1e-30)  # grad-safe at zero rotation
     small = theta < 1e-3
     theta2s = jnp.where(small, jnp.ones_like(theta2), theta2)
     h = theta * 0.5

@@ -1,0 +1,470 @@
+"""Gauss-Newton engine: cost, gradient, Schur-reduced matvec, PCG solve.
+
+TPU-native replacement for the reference's assembled block-sparse Hessian +
+BaSpaCho supernodal Cholesky (lib/small_thing/Optimizer.cpp:166-331): nothing
+global is ever assembled. Per-iteration state is the list of linearized factor
+batches (residuals + per-factor Jacobian blocks); every operator is built from
+three primitives that map perfectly onto TPU:
+
+  gather   x[group][idx]                  (factor <- variable)
+  einsum   J @ x / J^T @ r                (dense per-factor blocks)
+  scatter  zeros.at[idx].add(...)         (variable <- factor, deterministic —
+                                           replaces the reference's magic-NaN
+                                           spinlock scatter, AtomicOps.h:21-112)
+
+Landmarks are eliminated in closed form (batched 3x3 Cholesky solves) and the
+reduced camera system S = H_rr - W H_ll^-1 W^T is solved by preconditioned CG
+with a block-Jacobi preconditioner (+ per-observation Schur self-correction on
+the rig blocks), i.e. the reference's Solver_PCG_* family
+(Optimizer.cpp:212-331, Preconditioner.h:53-114) with the matvec done
+factor-side instead of on an assembled matrix.
+
+Damping follows reference Optimizer::addDamping (Optimizer.cpp:135-146):
+diag *= (1 + lambda); diag += lambda — applied to landmark blocks and, via the
+precomputed diagonal, inside the reduced matvec.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import losses
+from . import factors as fct
+from .structure import Masks, Tangent, VariableTables, t_add, t_axpy, t_dot, t_scale, zero_tangent
+
+
+class LinearizedGraph(NamedTuple):
+    """Per-iteration linearization state (a pytree; cfgs are static)."""
+
+    lins: tuple  # tuple[fct.Lin] per batch
+    w: tuple  # tuple[(N,)] robust weight * valid per batch
+    cost: jnp.ndarray  # () total cost 0.5 * sum rho(s)
+    stored_cost: tuple  # tuple[(N,)] per-factor cost at linearization
+    valid0: tuple  # tuple[(N,)] validity at linearization
+    num_invalid: jnp.ndarray  # () count of invalid optional factors
+    num_optional: jnp.ndarray  # () count of optional factors
+
+
+def _batch_cost_terms(cfg: fct.BatchCfg, res, valid):
+    s = jnp.sum(res * res, axis=-1)
+    kind, a, k = cfg.loss
+    val, der = losses.loss_jet2(kind, a, k, s)
+    return 0.5 * val * valid, der * valid
+
+
+def linearize(cfgs, datas, v: VariableTables, masks: Masks, alive: tuple | None = None):
+    """Linearize all batches. `alive` optionally freezes factors that failed
+    at an earlier linearization (reference dontRetryFailed, Optimizer.cpp:1002-1007).
+    """
+    lins = []
+    ws = []
+    costs = []
+    stored = []
+    valid0 = []
+    n_inv = jnp.asarray(0, jnp.int32)
+    n_opt = jnp.asarray(0, jnp.int32)
+    for i, (cfg, data) in enumerate(zip(cfgs, datas)):
+        lin = fct.linearize_batch(cfg, data, v, masks)
+        valid = lin.valid
+        if alive is not None and fct.REGISTRY[cfg.kind]["optional"]:
+            valid = valid * alive[i]
+            lin = lin._replace(valid=valid)
+        cost_f, w = _batch_cost_terms(cfg, lin.res, valid)
+        lins.append(lin)
+        ws.append(w)
+        costs.append(jnp.sum(cost_f))
+        stored.append(cost_f)
+        valid0.append(valid)
+        if fct.REGISTRY[cfg.kind]["optional"]:
+            n_inv = n_inv + jnp.sum(valid < 0.5).astype(jnp.int32)
+            n_opt = n_opt + valid.shape[0]
+    return LinearizedGraph(
+        lins=tuple(lins),
+        w=tuple(ws),
+        cost=sum(costs),
+        stored_cost=tuple(stored),
+        valid0=tuple(valid0),
+        num_invalid=n_inv,
+        num_optional=n_opt,
+    )
+
+
+class CostStats(NamedTuple):
+    cost: jnp.ndarray
+    num_invalid: jnp.ndarray
+    num_prev_invalid: jnp.ndarray
+    num_total: jnp.ndarray
+
+
+def comparable_cost(cfgs, datas, v: VariableTables, lg: LinearizedGraph) -> CostStats:
+    """Cost at new variables, comparable with the linearization point.
+
+    Reference Factor.h:391-417: factors invalid at linearization contribute
+    nothing; factors valid then but invalid now contribute their stored cost.
+    """
+    total = jnp.asarray(0.0, v.points.dtype)
+    n_inv = jnp.asarray(0, jnp.int32)
+    n_prev = jnp.asarray(0, jnp.int32)
+    n_tot = jnp.asarray(0, jnp.int32)
+    for cfg, data, stored, v0 in zip(cfgs, datas, lg.stored_cost, lg.valid0):
+        res, valid = fct.residual_batch(cfg, data, v)
+        cost_f, _ = _batch_cost_terms(cfg, res, valid)
+        if fct.REGISTRY[cfg.kind]["optional"]:
+            prev_ok = v0 > 0.5
+            now_ok = valid > 0.5
+            contrib = jnp.where(prev_ok, jnp.where(now_ok, cost_f, stored), 0.0)
+            total = total + jnp.sum(contrib)
+            n_inv = n_inv + jnp.sum(~now_ok).astype(jnp.int32)
+            n_prev = n_prev + jnp.sum(~prev_ok).astype(jnp.int32)
+            n_tot = n_tot + valid.shape[0]
+        else:
+            total = total + jnp.sum(cost_f)
+    return CostStats(total, n_inv, n_prev, n_tot)
+
+
+def gradient_tangent(cfgs, datas, v, masks: Masks):
+    """Exact robust-cost gradient at v via reverse-mode AD (used for the
+    step-factor interpolation, reference Optimizer.cpp:917-930)."""
+
+    def cost_fn(xi: Tangent, xp):
+        from .structure import retract
+
+        v2 = retract(v, xi, xp, masks)
+        total = jnp.asarray(0.0, v.points.dtype)
+        for cfg, data in zip(cfgs, datas):
+            res, valid = fct.residual_batch(cfg, data, v2)
+            cost_f, _ = _batch_cost_terms(cfg, res, valid)
+            total = total + jnp.sum(cost_f)
+        return total
+
+    g = jax.grad(cost_fn, argnums=(0, 1))(zero_tangent(v), jnp.zeros_like(v.points))
+    return g  # (Tangent grad, points grad)
+
+
+# ---------------------------------------------------------------------------
+# Block accumulation primitives
+# ---------------------------------------------------------------------------
+
+
+def _accumulate_grad(lg: LinearizedGraph, v: VariableTables):
+    """grad = J^T (w * res) over all batches -> (Tangent, points (L,3))."""
+    g = zero_tangent(v)._asdict()
+    gp = jnp.zeros_like(v.points)
+    for lin, w in zip(lg.lins, lg.w):
+        wres = lin.res * w[:, None]
+        for group, idx, J in zip(lin.groups, lin.idx, lin.jac):
+            contrib = jnp.einsum("nij,ni->nj", J, wres)
+            if group == fct.POINTS:
+                gp = gp.at[idx].add(contrib)
+            elif group == fct.GRAVITY:
+                g[group] = g[group] + jnp.sum(contrib, axis=0)
+            else:
+                g[group] = g[group].at[idx].add(contrib)
+    return Tangent(**g), gp
+
+
+def _hess_diag(lg: LinearizedGraph, v: VariableTables):
+    """Diagonal ENTRIES of the (undamped) GN Hessian, as (Tangent, (L,3))."""
+    d = zero_tangent(v)._asdict()
+    dp = jnp.zeros_like(v.points)
+    for lin, w in zip(lg.lins, lg.w):
+        for group, idx, J in zip(lin.groups, lin.idx, lin.jac):
+            contrib = jnp.einsum("nij,nij->nj", J, J * w[:, None, None])
+            if group == fct.POINTS:
+                dp = dp.at[idx].add(contrib)
+            elif group == fct.GRAVITY:
+                d[group] = d[group] + jnp.sum(contrib, axis=0)
+            else:
+                d[group] = d[group].at[idx].add(contrib)
+    return Tangent(**d), dp
+
+
+def _point_blocks(lg: LinearizedGraph, v: VariableTables, lam):
+    """Damped landmark Hessian blocks H_ll (L, 3, 3)."""
+    L = v.points.shape[0]
+    H = jnp.zeros((L, 3, 3), v.points.dtype)
+    for lin, w in zip(lg.lins, lg.w):
+        for group, idx, J in zip(lin.groups, lin.idx, lin.jac):
+            if group != fct.POINTS:
+                continue
+            H = H.at[idx].add(jnp.einsum("nij,nik->njk", J * w[:, None, None], J))
+    # damping diag*(1+lam)+lam; masked/unobserved dims get identity via +lam
+    diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+    H = H + jnp.eye(3, dtype=H.dtype) * (lam * diag + lam)[..., None, :] * jnp.eye(3, dtype=H.dtype)
+    return H
+
+
+def _hmatvec(lg: LinearizedGraph, v, x: Tangent, xp):
+    """Undamped GN Hessian matvec on the FULL state (incl. landmarks)."""
+    y = zero_tangent(v)._asdict()
+    yp = jnp.zeros_like(v.points)
+    for lin, w in zip(lg.lins, lg.w):
+        u = jnp.zeros_like(lin.res)
+        for group, idx, J in zip(lin.groups, lin.idx, lin.jac):
+            if group == fct.POINTS:
+                xv = xp[idx]
+            elif group == fct.GRAVITY:
+                xv = jnp.broadcast_to(x.gravity, (J.shape[0], 2))
+            else:
+                xv = getattr(x, group)[idx]
+            u = u + jnp.einsum("nij,nj->ni", J, xv)
+        wu = u * w[:, None]
+        for group, idx, J in zip(lin.groups, lin.idx, lin.jac):
+            contrib = jnp.einsum("nij,ni->nj", J, wu)
+            if group == fct.POINTS:
+                yp = yp.at[idx].add(contrib)
+            elif group == fct.GRAVITY:
+                y[group] = y[group] + jnp.sum(contrib, axis=0)
+            else:
+                y[group] = y[group].at[idx].add(contrib)
+    return Tangent(**y), yp
+
+
+# ---------------------------------------------------------------------------
+# Schur-reduced damped system
+# ---------------------------------------------------------------------------
+
+
+class ReducedSystem(NamedTuple):
+    """Damped Schur-reduced operator state for one (linearization, lambda)."""
+
+    H_ll: jnp.ndarray  # (L, 3, 3) damped landmark blocks
+    H_ll_chol: jnp.ndarray  # (L, 3, 3) Cholesky factors
+    diag_r: Tangent  # undamped reduced diagonal entries
+    lam: jnp.ndarray
+    precond_inv: Tangent | None  # block-Jacobi inverse blocks per group
+
+
+def _chol3(H):
+    return jnp.linalg.cholesky(H)
+
+
+def _chol_solve(L, b):
+    y = jax.scipy.linalg.solve_triangular(L, b[..., None], lower=True)
+    return jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), y, lower=False
+    )[..., 0]
+
+
+def build_reduced_system(lg, v, masks: Masks, lam, precond_blocks=True):
+    H_ll = _point_blocks(lg, v, lam)
+    H_ll_chol = _chol3(H_ll)
+    diag_r, _ = _hess_diag(lg, v)
+
+    precond_inv = None
+    if precond_blocks:
+        precond_inv = _build_preconditioner(lg, v, masks, lam, H_ll_chol)
+    return ReducedSystem(H_ll, H_ll_chol, diag_r, lam, precond_inv)
+
+
+def _build_preconditioner(lg, v, masks: Masks, lam, H_ll_chol):
+    """Block-Jacobi blocks per variable group (damped, masked, inverted).
+
+    Rig blocks additionally subtract the per-observation Schur self-correction
+    J_rig^T w J_pt H_ll^-1 J_pt^T w J_rig (exact when each landmark is seen
+    once per rig) — the practical analog of the reference's Gauss-Seidel
+    corner preconditioner (Preconditioner.h:117-160).
+    """
+    dims = fct.GROUP_DIMS
+    blocks = {
+        g: jnp.zeros((getattr(masks, g).shape[0] if getattr(masks, g).ndim > 1 else 1, dims[g], dims[g]), v.points.dtype)
+        for g in [fct.RIG, fct.CAM_INTR, fct.CAM_EXTR, fct.IMU_CALIB, fct.IMU_EXTR, fct.DET_BIAS, fct.GRAVITY]
+    }
+    for lin, w in zip(lg.lins, lg.w):
+        # group self blocks
+        pt_entry = None
+        for group, idx, J in zip(lin.groups, lin.idx, lin.jac):
+            if group == fct.POINTS:
+                pt_entry = (idx, J)
+                continue
+            B = jnp.einsum("nij,nik->njk", J * w[:, None, None], J)
+            if group == fct.GRAVITY:
+                blocks[group] = blocks[group].at[0].add(jnp.sum(B, axis=0))
+            else:
+                blocks[group] = blocks[group].at[idx].add(B)
+        # rig Schur self-correction from landmark elimination
+        if pt_entry is not None:
+            pidx, Jp = pt_entry
+            Lc = H_ll_chol[pidx]
+            for group, idx, J in zip(lin.groups, lin.idx, lin.jac):
+                if group != fct.RIG:
+                    continue
+                A = jnp.einsum("nij,nik->njk", J * w[:, None, None], Jp)  # (N,12,3)
+                X = jax.scipy.linalg.solve_triangular(
+                    Lc, jnp.swapaxes(A, -1, -2), lower=True
+                )  # (N,3,12) = L^-1 A^T
+                corr = jnp.einsum("nij,nik->njk", X, X)  # A H^-1 A^T, (N,12,12)
+                blocks[group] = blocks[group].at[idx].add(-corr)
+
+    inv = {}
+    for g, B in blocks.items():
+        dim = B.shape[-1]
+        eye = jnp.eye(dim, dtype=B.dtype)
+        diag = jnp.diagonal(B, axis1=-2, axis2=-1)
+        B = B + eye * (lam * jnp.maximum(diag, 0.0) + lam)[..., None, :] * eye
+        m = getattr(masks, g)
+        if m.ndim == 1:
+            m = m[None, :]
+        B = B * m[:, :, None] * m[:, None, :] + eye * (1.0 - m)[..., None, :] * eye
+        # SPD safeguard: tiny ridge relative to trace
+        tr = jnp.trace(B, axis1=-2, axis2=-1)[..., None, None]
+        B = B + eye * tr * 1e-12
+        inv[g] = jnp.linalg.inv(B)
+    return Tangent(
+        rig=inv[fct.RIG],
+        cam_intr=inv[fct.CAM_INTR],
+        cam_extr=inv[fct.CAM_EXTR],
+        imu_calib=inv[fct.IMU_CALIB],
+        imu_extr=inv[fct.IMU_EXTR],
+        det_bias=inv[fct.DET_BIAS],
+        gravity=inv[fct.GRAVITY][0],
+    )
+
+
+def _apply_precond(rs: ReducedSystem, r: Tangent) -> Tangent:
+    p = rs.precond_inv
+    return Tangent(
+        rig=jnp.einsum("nij,nj->ni", p.rig, r.rig),
+        cam_intr=jnp.einsum("nij,nj->ni", p.cam_intr, r.cam_intr),
+        cam_extr=jnp.einsum("nij,nj->ni", p.cam_extr, r.cam_extr),
+        imu_calib=jnp.einsum("nij,nj->ni", p.imu_calib, r.imu_calib),
+        imu_extr=jnp.einsum("nij,nj->ni", p.imu_extr, r.imu_extr),
+        det_bias=jnp.einsum("nij,nj->ni", p.det_bias, r.det_bias),
+        gravity=p.gravity @ r.gravity,
+    )
+
+
+def _w_transpose_x(lg, v, x: Tangent):
+    """A_lr x: landmark-rows of H applied to a reduced-only vector."""
+    t = jnp.zeros_like(v.points)
+    for lin, w in zip(lg.lins, lg.w):
+        if fct.POINTS not in lin.groups:
+            continue
+        u = jnp.zeros_like(lin.res)
+        pt_idx, pt_J = None, None
+        for group, idx, J in zip(lin.groups, lin.idx, lin.jac):
+            if group == fct.POINTS:
+                pt_idx, pt_J = idx, J
+                continue
+            xv = (
+                jnp.broadcast_to(x.gravity, (J.shape[0], 2))
+                if group == fct.GRAVITY
+                else getattr(x, group)[idx]
+            )
+            u = u + jnp.einsum("nij,nj->ni", J, xv)
+        t = t.at[pt_idx].add(jnp.einsum("nij,ni->nj", pt_J, u * w[:, None]))
+    return t
+
+
+def _w_y(lg, v, yl):
+    """A_rl y_l: reduced-rows of H applied to a landmark-only vector."""
+    y = zero_tangent(v)._asdict()
+    for lin, w in zip(lg.lins, lg.w):
+        if fct.POINTS not in lin.groups:
+            continue
+        u = jnp.zeros_like(lin.res)
+        for group, idx, J in zip(lin.groups, lin.idx, lin.jac):
+            if group == fct.POINTS:
+                u = u + jnp.einsum("nij,nj->ni", J, yl[idx])
+        wu = u * w[:, None]
+        for group, idx, J in zip(lin.groups, lin.idx, lin.jac):
+            if group == fct.POINTS:
+                continue
+            contrib = jnp.einsum("nij,ni->nj", J, wu)
+            if group == fct.GRAVITY:
+                y[group] = y[group] + jnp.sum(contrib, axis=0)
+            else:
+                y[group] = y[group].at[idx].add(contrib)
+    return Tangent(**y)
+
+
+def reduced_matvec(lg, v, rs: ReducedSystem, x: Tangent) -> Tangent:
+    """S x = (H_rr + damping) x - W H_ll^-1 W^T x."""
+    hx, _ = _hmatvec(lg, v, x, jnp.zeros_like(v.points))
+    # damping on reduced diagonal: diag*(1+lam)+lam => +lam*diag.x + lam*x
+    damped = jax.tree_util.tree_map(
+        lambda h, d, xv: h + rs.lam * (d * xv) + rs.lam * xv, hx, rs.diag_r, x
+    )
+    t = _w_transpose_x(lg, v, x)
+    z = _chol_solve(rs.H_ll_chol, t)
+    corr = _w_y(lg, v, z)
+    return jax.tree_util.tree_map(jnp.subtract, damped, corr)
+
+
+def reduce_rhs(lg, v, rs: ReducedSystem, b_r: Tangent, b_l):
+    """b~ = b_r - W H_ll^-1 b_l."""
+    z = _chol_solve(rs.H_ll_chol, b_l)
+    corr = _w_y(lg, v, z)
+    return jax.tree_util.tree_map(jnp.subtract, b_r, corr)
+
+
+def back_substitute(lg, v, rs: ReducedSystem, x_r: Tangent, b_l):
+    """x_l = H_ll^-1 (b_l - W^T x_r)."""
+    t = _w_transpose_x(lg, v, x_r)
+    return _chol_solve(rs.H_ll_chol, b_l - t)
+
+
+# ---------------------------------------------------------------------------
+# PCG on the reduced system (reference lib/small_thing/PCG.cpp:15-97)
+# ---------------------------------------------------------------------------
+
+
+def pcg_solve(lg, v, rs: ReducedSystem, b: Tangent, max_iters: int, rel_tol):
+    """Returns (x, final_rel_residual, iters)."""
+
+    def mv(x):
+        return reduced_matvec(lg, v, rs, x)
+
+    b_norm2 = t_dot(b, b)
+    x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
+    r0 = b
+    z0 = _apply_precond(rs, r0)
+    p0 = z0
+    rz0 = t_dot(r0, z0)
+
+    def cond(state):
+        _, r, _, _, it, _ = state
+        rn = t_dot(r, r)
+        return (it < max_iters) & (rn > rel_tol * rel_tol * b_norm2)
+
+    def body(state):
+        x, r, z, p, it, rz = state
+        Ap = mv(p)
+        pAp = t_dot(p, Ap)
+        alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+        x = t_axpy(alpha, p, x)
+        r = t_axpy(-alpha, Ap, r)
+        z = _apply_precond(rs, r)
+        rz_new = t_dot(r, z)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        p = t_axpy(beta, p, z)
+        return (x, r, z, p, it + 1, rz_new)
+
+    x, r, _, _, iters, _ = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, 0, rz0))
+    rel = jnp.sqrt(t_dot(r, r) / jnp.where(b_norm2 == 0, 1.0, b_norm2))
+    return x, rel, iters
+
+
+def solve_step(cfgs, datas, lg, v, masks, lam, max_iters=250, rel_tol=1e-10):
+    """Full damped GN solve: returns (step_tangent, step_points, model_cost_
+    reduction, pcg_rel, pcg_iters). Step is H^-1 grad (NOT yet negated),
+    matching the reference convention (Optimizer.cpp:829-834)."""
+    g_r, g_l = _accumulate_grad(lg, v)
+    rs = build_reduced_system(lg, v, masks, lam)
+    b = reduce_rhs(lg, v, rs, g_r, g_l)
+    x_r, rel, iters = pcg_solve(lg, v, rs, b, max_iters, rel_tol)
+    x_l = back_substitute(lg, v, rs, x_r, g_l)
+    model_red = 0.5 * (t_dot(x_r, g_r) + jnp.vdot(x_l, g_l))
+    return x_r, x_l, model_red, rel, iters, rs, (g_r, g_l)
+
+
+def solve_with_system(lg, v, rs: ReducedSystem, g_r, g_l, max_iters=250, rel_tol=1e-10):
+    """Re-solve with an existing reduced system (reference sub-step reusing
+    the factorization, Optimizer.cpp:958-1000)."""
+    b = reduce_rhs(lg, v, rs, g_r, g_l)
+    x_r, rel, iters = pcg_solve(lg, v, rs, b, max_iters, rel_tol)
+    x_l = back_substitute(lg, v, rs, x_r, g_l)
+    return x_r, x_l

@@ -1,0 +1,354 @@
+"""Levenberg-Marquardt driver with reference-parity control flow.
+
+Host-driven outer loop calling jitted kernels (linearize / solve / cost /
+retract), mirroring reference lib/small_thing/Optimizer.cpp:768-1106 exactly:
+
+  - damping schedule: init 1e-5, x2.5 on fail, x0.7 on good, x1.5 on average,
+    abort above 1e8 (Settings, Optimizer.h:40-91)
+  - model-cost-reduction sanity retry (Optimizer.cpp:835-854)
+  - step-factor retries with gradient-interpolated shrink factor and optional
+    "sub-step" re-solve reusing the factorization (Optimizer.cpp:907-1011)
+  - failure-rate policy: new invalid rate < 3% and < 2*prev + 50
+    (Optimizer.cpp:888-891)
+  - comparable-cost caching for factors with optional errors (Factor.h:391-417)
+  - dontRetryFailed freezing of failing factors after a failed retry
+    (Optimizer.cpp:1002-1007)
+  - troubled-sequence accounting and the tolerance-held-for-N-iterations stop
+    (Optimizer.cpp:1032-1096)
+
+The linear solve is the Schur-reduced PCG of engine.py; solver "direct" mode
+is PCG run to tight tolerance with a high iteration cap (the TPU-native
+equivalent of the reference's small-problem supernodal Cholesky).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import engine
+from .structure import Masks, VariableTables, retract, step_to_var_ratios, t_dot, t_scale
+
+
+@dataclasses.dataclass
+class LMSettings:
+    """Reference lib/small_thing/Optimizer.h:40-91 defaults."""
+
+    max_iterations: int = 50
+    pcg_max_iterations: int = 40
+    pcg_tol: float = 1e-10
+    direct_mode: bool = True  # small problems: PCG to tight tolerance
+    direct_pcg_iterations: int = 500
+
+    absolute_cost_tolerance: float = 1e-8
+    relative_cost_tolerance: float = 1e-10
+    variables_tolerance: float = 1e-5
+
+    stop_if_no_improvement_for: int = 3
+    distance_from_troubled_iteration: int = 3
+    damping: float = 1e-5
+    damping_adjust_on_fail: float = 2.5
+    damping_adjust_on_good_step: float = 0.7
+    damping_adjust_on_average_step: float = 1.5
+    damping_max: float = 1e8
+    damping_min: float = 1e-9
+
+    min_relative_cost_reduction: float = 0.3
+    step_factor_decrease: float = 0.3
+    max_step_factor_attempts: int = 2
+    try_sub_step: bool = True
+    min_step_factor_for_good: float = 0.7
+
+    log: Optional[Callable[[str], None]] = None
+    pre_step_callback: Optional[Callable[[int, "Problem"], None]] = None
+
+
+@dataclasses.dataclass
+class Summary:
+    initial_cost: float = 0.0
+    final_cost: float = 0.0
+    num_troubled_seqs: int = 0
+    largest_troubled_seq: int = 0
+    num_iterations: int = 0
+    iteration_times: list = dataclasses.field(default_factory=list)
+
+
+class Problem:
+    """A factor graph: variable tables + masks + factor batches.
+
+    The TPU-facing analog of reference SingleSessionProblem + Optimizer
+    ownership of stores (Optimizer.h:332-335). Batches with zero factors are
+    dropped at finalize time so all jitted shapes are non-degenerate.
+    """
+
+    def __init__(self, variables: VariableTables, masks: Masks):
+        self.variables = variables
+        self.masks = masks
+        self.cfgs: list = []
+        self.datas: list = []
+        self._jits = None
+
+    def add_batch(self, cfg, data):
+        import numpy as np
+
+        n = 0
+        for a in data.values():
+            if hasattr(a, "shape") and getattr(a, "ndim", 0) >= 1:
+                n = a.shape[0]
+                break
+        if n == 0:
+            return
+        self.cfgs.append(cfg)
+        self.datas.append(data)
+        self._jits = None
+
+    # -- jitted kernels (built once per batch structure) --------------------
+
+    def _build(self):
+        if self._jits is not None:
+            return self._jits
+        cfgs = tuple(self.cfgs)
+
+        @jax.jit
+        def k_linearize(datas, v, masks, alive):
+            return engine.linearize(cfgs, datas, v, masks, alive)
+
+        @partial(jax.jit, static_argnames=("max_iters",))
+        def k_solve(datas, lg, v, masks, lam, max_iters, rel_tol):
+            return engine.solve_step(cfgs, datas, lg, v, masks, lam, max_iters, rel_tol)
+
+        @partial(jax.jit, static_argnames=("max_iters",))
+        def k_resolve(lg, v, rs, g_r, g_l, max_iters, rel_tol):
+            return engine.solve_with_system(lg, v, rs, g_r, g_l, max_iters, rel_tol)
+
+        @jax.jit
+        def k_cost(datas, v, lg):
+            return engine.comparable_cost(cfgs, datas, v, lg)
+
+        @jax.jit
+        def k_grad(datas, v, masks):
+            return engine.gradient_tangent(cfgs, datas, v, masks)
+
+        @jax.jit
+        def k_retract(v, t, tp, masks, scale):
+            t2 = t_scale(t, scale)
+            v2 = retract(v, t2, tp * scale, masks)
+            ratios = step_to_var_ratios(v, t2, tp * scale)
+            return v2, ratios
+
+        self._jits = (k_linearize, k_solve, k_resolve, k_cost, k_grad, k_retract)
+        return self._jits
+
+    def initial_alive(self):
+        return tuple(jnp.ones(next(a.shape[0] for a in d.values() if hasattr(a, "ndim") and a.ndim >= 1), self.variables.points.dtype) for d in self.datas)
+
+
+def optimize(problem: Problem, settings: LMSettings) -> Summary:
+    k_lin, k_solve, k_resolve, k_cost, k_grad, k_retract = problem._build()
+    log = settings.log or (lambda s: None)
+    datas = tuple(problem.datas)
+    masks = problem.masks
+    v = problem.variables
+    alive = problem.initial_alive()
+
+    damping = settings.damping
+    pcg_iters = (
+        settings.direct_pcg_iterations if settings.direct_mode else settings.pcg_max_iterations
+    )
+
+    summary = Summary()
+    iteration = 0
+    last_improvement_iteration = 0
+    last_troubled_iteration = -10
+    troubled_seq_start_damping = damping
+    troubled_seq_start = 0
+    dont_retry_failed = False
+    initial_cost = None
+    final_cost = None
+
+    while True:
+        t_it = time.time()
+        if settings.pre_step_callback is not None:
+            settings.pre_step_callback(iteration, problem)
+            datas = tuple(problem.datas)
+
+        lg = k_lin(datas, v, masks, alive if dont_retry_failed else None)
+        prev_cost = float(lg.cost)
+        if initial_cost is None:
+            initial_cost = prev_cost
+        if final_cost is None:
+            final_cost = prev_cost
+        if dont_retry_failed:
+            alive = lg.valid0
+
+        # solve, with model-cost sanity retry (Optimizer.cpp:835-854)
+        while True:
+            x_r, x_l, model_red, pcg_rel, pcg_it, rs, (g_r, g_l) = k_solve(
+                datas, lg, v, masks, jnp.asarray(damping), pcg_iters, settings.pcg_tol
+            )
+            model_red = float(model_red)
+            if model_red >= 0:
+                break
+            damping *= settings.damping_adjust_on_fail
+            log(f" ?:# quadratic model failing numerically, retrying... (damping: {damping:g})")
+            if damping > settings.damping_max:
+                break
+        if model_red < 0:
+            log("damping out of range, quadratic model failing?!")
+            break
+
+        # step = -H^-1 g
+        step_r, step_l = t_scale(x_r, -1.0), -x_l
+        grad_norm = float(jnp.sqrt(t_dot(g_r, g_r) + jnp.vdot(g_l, g_l)))
+        step_norm = float(jnp.sqrt(t_dot(step_r, step_r) + jnp.vdot(step_l, step_l)))
+
+        v_new, (ratio_inf, ratio_2) = k_retract(v, step_r, step_l, masks, jnp.asarray(1.0))
+        stats = k_cost(datas, v_new, lg)
+        new_cost = float(stats.cost)
+        cost_reduction = prev_cost - new_cost
+        ratio_reduction_to_cost = cost_reduction / new_cost if new_cost else 0.0
+        ratio_reduction_to_expected = cost_reduction / model_red if model_red else 0.0
+        applied_step_factor = 1.0
+
+        def failure_rate_ok(st):
+            inv = float(st.num_invalid)
+            prev_inv = float(st.num_prev_invalid)
+            tot = float(st.num_total)
+            return (inv / (tot + 1.0) < 0.03) and (inv < prev_inv * 2.0 + 50)
+
+        failure_ok = failure_rate_ok(stats)
+
+        # step-factor retries (Optimizer.cpp:907-1011)
+        if settings.max_step_factor_attempts > 0 and (
+            ratio_reduction_to_expected < settings.min_relative_cost_reduction or not failure_ok
+        ):
+            g_new_r, g_new_l = k_grad(datas, v_new, masks)
+            back_red = -0.5 * float(t_dot(g_new_r, step_r) + jnp.vdot(g_new_l, step_l))
+            step_factor = (
+                model_red / (model_red + back_red)
+                if back_red > 0
+                else settings.step_factor_decrease
+            )
+            for _ in range(settings.max_step_factor_attempts):
+                applied_step_factor *= step_factor
+                v_new, (ratio_inf, ratio_2) = k_retract(
+                    v, step_r, step_l, masks, jnp.asarray(applied_step_factor)
+                )
+                stats_f = k_cost(datas, v_new, lg)
+                new_cost_f = float(stats_f.cost)
+                red_f = prev_cost - new_cost_f
+                rel_f = red_f / (model_red * applied_step_factor) if model_red else 0.0
+                if rel_f >= settings.min_relative_cost_reduction and failure_rate_ok(stats_f):
+                    new_cost, stats = new_cost_f, stats_f
+                    cost_reduction = red_f
+                    ratio_reduction_to_expected = rel_f
+                    failure_ok = True
+                    log(f" \\!/ cost reduction obtained applying factor {applied_step_factor:.2f}")
+                    break
+
+                if settings.try_sub_step:
+                    g2_r, g2_l = k_grad(datas, v_new, masks)
+                    s2_r, s2_l = k_resolve(lg, v, rs, g2_r, g2_l, pcg_iters, settings.pcg_tol)
+                    v_sub, _ = k_retract(v_new, t_scale(s2_r, -1.0), -s2_l, masks, jnp.asarray(1.0))
+                    stats_s = k_cost(datas, v_sub, lg)
+                    new_cost_s = float(stats_s.cost)
+                    red_s = prev_cost - new_cost_s
+                    rel_s = red_s / (model_red * applied_step_factor) if model_red else 0.0
+                    if rel_s >= settings.min_relative_cost_reduction and failure_rate_ok(stats_s):
+                        v_new = v_sub
+                        new_cost, stats = new_cost_s, stats_s
+                        cost_reduction = red_s
+                        ratio_reduction_to_expected = rel_s
+                        failure_ok = True
+                        log(
+                            f" \\!/ cost reduction obtained applying factor "
+                            f"{applied_step_factor:.2f} + sub-step"
+                        )
+                        break
+
+                if not dont_retry_failed:
+                    dont_retry_failed = True
+                    log(" \\!/ failing factors will no longer be retried!")
+                step_factor = settings.step_factor_decrease
+
+        tolerance_hit = None
+        if ratio_reduction_to_cost < settings.relative_cost_tolerance:
+            tolerance_hit = "relative cost"
+        elif cost_reduction < settings.absolute_cost_tolerance:
+            tolerance_hit = "absolute cost"
+        elif float(ratio_2) < settings.variables_tolerance:
+            tolerance_hit = "variable"
+
+        if new_cost > prev_cost or not failure_ok:  # failure
+            if last_troubled_iteration != iteration - 1:
+                troubled_seq_start_damping = damping
+                troubled_seq_start = iteration
+            smiley = ":'("
+            damping *= settings.damping_adjust_on_fail
+            # v unchanged (functional restore)
+            if damping > settings.damping_max:
+                log("damping out of range, quadratic model failing?!")
+                iteration += 1
+                break
+            last_troubled_iteration = iteration
+        else:
+            if last_troubled_iteration == iteration - 1:
+                if troubled_seq_start_damping < 1e1 and damping > 1e-3:
+                    summary.num_troubled_seqs += 1
+                    summary.largest_troubled_seq = max(
+                        summary.largest_troubled_seq, iteration - troubled_seq_start
+                    )
+            if (
+                ratio_reduction_to_expected >= settings.min_relative_cost_reduction
+                and applied_step_factor > settings.min_step_factor_for_good
+            ):
+                smiley = ";-|" if tolerance_hit else ":-)"
+                damping = max(
+                    damping * settings.damping_adjust_on_good_step, settings.damping_min
+                )
+            else:
+                smiley = ":-/"
+                damping *= settings.damping_adjust_on_average_step
+            v = v_new
+            final_cost = new_cost
+
+        iteration += 1
+        dt = time.time() - t_it
+        summary.iteration_times.append(dt)
+        log(
+            f" {smiley} cost: {prev_cost:.6g} -> {new_cost:.6g} "
+            f"({(new_cost / prev_cost - 1.0) * 100:.2f}%), t: {dt:.3f}s\n"
+            f"     n.{iteration}; pcg: {int(pcg_it)} iters, rel {float(pcg_rel):.2e}\n"
+            f"     lmbd: {damping:.3g}, relRed: {ratio_reduction_to_expected * 100:.1f}%, "
+            f"improv: {cost_reduction:.6g}, modelImprov: {model_red:.6g}\n"
+            f"    |G|: {grad_norm:.4g}, |S|: {step_norm:.4g}, "
+            f"|s/v|_inf: {float(ratio_inf):.3g}, |_2: {float(ratio_2):.3g}\n"
+            f"    Failing factors: {int(stats.num_prev_invalid)} -> {int(stats.num_invalid)}"
+            f" / {int(stats.num_total)}"
+        )
+
+        if not tolerance_hit:
+            last_improvement_iteration = iteration
+        if (
+            iteration >= last_improvement_iteration + settings.stop_if_no_improvement_for
+            and iteration >= last_troubled_iteration + settings.distance_from_troubled_iteration
+        ):
+            log(
+                f" >_< converged! (hit {tolerance_hit} tolerance, for "
+                f"{settings.stop_if_no_improvement_for} iterations)"
+            )
+            break
+        if iteration >= settings.max_iterations:
+            log(f" X-| iteration limit reached! ({settings.max_iterations} iterations)")
+            break
+
+    problem.variables = v
+    summary.initial_cost = initial_cost or 0.0
+    summary.final_cost = final_cost if final_cost is not None else (initial_cost or 0.0)
+    summary.num_iterations = iteration
+    return summary
