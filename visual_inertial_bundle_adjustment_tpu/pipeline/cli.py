@@ -1,0 +1,285 @@
+"""CLI entry point: `python -m visual_inertial_bundle_adjustment_tpu.pipeline.cli`.
+
+Counterpart of reference interfaces/ark/main_AriaKit_ViBa.cpp:32-133 with the
+same flag vocabulary (viba/common/Settings.cpp:71-294), including the
+comma-separated token mini-DSL with `-` negation for calibration subsets
+(InitCalibration.cpp:16-88):
+
+  --calib-constant / --calib-factory tokens:
+      imu-calib|imu-extr|imu-all|cam-intr|cam-extr|cam-all|all-extr|all
+  --imu-calib-estimation-options tokens:
+      gyro-bias|accel-bias|gyro-scale|accel-scale|gyro-nonorth|accel-nonorth|
+      reference-imu-time-offset|gyro-accel-time-offset|all|
+      all-but-time-offsets|all-but-biases|all-time-offsets
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def each_token(args_str):
+    """Reference eachToken (InitCalibration.cpp:16-33)."""
+    for token in args_str.split(","):
+        token = token.strip()
+        if not token:
+            continue
+        val = not token.startswith("-")
+        yield token.lstrip("-"), val
+
+
+def parse_imu_options(args_str, base=None):
+    """Reference parseCalibOptionString (InitCalibration.cpp:36-88)."""
+    opts = dict(
+        accelBias=True, gyroBias=True, accelScale=False, gyroScale=False,
+        accelNonorth=False, gyroNonorth=False,
+        refImuTimeOffset=False, gyroAccelTimeOffset=False,
+    ) if base is None else dict(base)
+    mapping = {
+        "gyro-bias": ["gyroBias"], "accel-bias": ["accelBias"],
+        "gyro-scale": ["gyroScale"], "accel-scale": ["accelScale"],
+        "gyro-nonorth": ["gyroNonorth"], "accel-nonorth": ["accelNonorth"],
+        "reference-imu-time-offset": ["refImuTimeOffset"],
+        "gyro-accel-time-offset": ["gyroAccelTimeOffset"],
+        "all": list(opts.keys()),
+        "all-but-time-offsets": ["gyroBias", "accelBias", "gyroScale", "accelScale",
+                                 "gyroNonorth", "accelNonorth"],
+        "all-but-biases": ["gyroScale", "accelScale", "gyroNonorth", "accelNonorth",
+                           "refImuTimeOffset", "gyroAccelTimeOffset"],
+        "all-non-orths": ["gyroNonorth", "accelNonorth"],
+        "all-time-offsets": ["refImuTimeOffset", "gyroAccelTimeOffset"],
+    }
+    for token, val in each_token(args_str):
+        keys = mapping.get(token)
+        if keys is None:
+            raise SystemExit(f"unknown imu estimation option: {token}")
+        for k in keys:
+            opts[k] = val
+    return opts
+
+
+def parse_calib_groups(args_str):
+    """Which groups are selected by a --calib-constant/--calib-factory string."""
+    sel = dict(imu_calib=False, imu_extr=False, cam_intr=False, cam_extr=False)
+    mapping = {
+        "imu-calib": ["imu_calib"], "imu-extr": ["imu_extr"],
+        "imu-all": ["imu_calib", "imu_extr"],
+        "cam-intr": ["cam_intr"], "cam-extr": ["cam_extr"],
+        "cam-all": ["cam_intr", "cam_extr"],
+        "all-extr": ["cam_extr", "imu_extr"],
+        "all": list(sel.keys()),
+    }
+    for token, val in each_token(args_str):
+        keys = mapping.get(token)
+        if keys is None:
+            raise SystemExit(f"unknown calibration group token: {token}")
+        for k in keys:
+            sel[k] = val
+    return sel
+
+
+def build_arg_parser():
+    p = argparse.ArgumentParser(
+        prog="vi_ba", description="TPU-native visual-inertial bundle adjustment"
+    )
+    p.add_argument("-i", "--input-dir", required=True)
+    p.add_argument("-o", "--output-dir", default=None)
+    p.add_argument("--rig-start", type=int, default=-1)
+    p.add_argument("--rig-end", type=int, default=-1)
+    # factor weighting / losses (Settings.cpp, groups)
+    p.add_argument("--tracking-obs-lrad", type=float, default=1.0)
+    p.add_argument("--tracking-obs-lcut", type=float, default=3.0)
+    p.add_argument("--imu-lrad", type=float, default=float("inf"))
+    p.add_argument("--imu-lcut", type=float, default=float("inf"))
+    # calibration
+    p.add_argument("--calib-constant", default="")
+    p.add_argument("--calib-factory", default="")
+    p.add_argument("--imu-calib-estimation-options", default="all")
+    p.add_argument("--estimate-readout-time", action="store_true")
+    p.add_argument("--estimate-time-offset", action="store_true")
+    p.add_argument("--optimize-detector-bias", action="store_true")
+    p.add_argument("--no-fprio", action="store_true")
+    p.add_argument("--cam-intr-fprio-infl", type=float, default=100.0)
+    p.add_argument("--cam-extr-fprio-infl", type=float, default=100.0)
+    p.add_argument("--imu-calib-fprio-infl", type=float, default=100.0)
+    p.add_argument("--imu-extr-fprio-infl", type=float, default=100.0)
+    p.add_argument("--cam-intr-rw-infl", type=float, default=1.0)
+    p.add_argument("--cam-extr-rw-infl", type=float, default=1.0)
+    p.add_argument("--imu-calib-rw-infl", type=float, default=1.0)
+    p.add_argument("--imu-extr-rw-infl", type=float, default=1.0)
+    # trajectory
+    p.add_argument("--trajectory-constant", action="store_true")
+    # optimizer
+    p.add_argument("--max-num-iterations", type=int, default=250)
+    p.add_argument("--linear-solver", default="auto",
+                   choices=["auto", "direct", "jacobi", "gauss-seidel"])
+    p.add_argument("--pcg-max-iterations", type=int, default=40)
+    p.add_argument("--num-threads", type=int, default=8)
+    p.add_argument("--dont-optimize", action="store_true")
+    p.add_argument("--recompute-preint", action="store_true")
+    # debugging / reports
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--json-report", default=None)
+    p.add_argument("--simple-stats", action="store_true")
+    p.add_argument("--eval-calib-vs-factory", action="store_true")
+    return p
+
+
+# reference Constants.h:15 + Settings.cpp:296-320
+NUM_RIGS_FOR_ITERATIVE = 20000
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+
+    from ..problem.optimizer import LMSettings, optimize
+    from . import session_data as sio
+    from .adapter import AdapterOptions, SessionAdapter
+
+    log = print
+    t0 = time.time()
+    log("Loading...")
+    sd = sio.load_session(args.input_dir)
+
+    const = parse_calib_groups(args.calib_constant)
+    fact = parse_calib_groups(args.calib_factory)
+    opts = AdapterOptions(
+        estimate_cam_intr=not (const["cam_intr"] or fact["cam_intr"]),
+        estimate_cam_extr=not (const["cam_extr"] or fact["cam_extr"]),
+        estimate_imu_calib=not (const["imu_calib"] or fact["imu_calib"]),
+        estimate_imu_extr=not (const["imu_extr"] or fact["imu_extr"]),
+        factory_init=any(fact.values()),
+        imu_options=parse_imu_options(args.imu_calib_estimation_options),
+        estimate_readout=args.estimate_readout_time,
+        estimate_cam_time_offset=args.estimate_time_offset,
+        factory_prior_inflate=0.0 if args.no_fprio else args.imu_calib_fprio_infl,
+        rw_inflate=args.imu_calib_rw_infl,
+        rigs_constant=args.trajectory_constant,
+        use_detector_bias=args.optimize_detector_bias,
+    )
+    log("Creating problem...")
+    adapter = SessionAdapter(sd, opts, log=log)
+    problem = adapter.build()
+    log(
+        f"rigs: {adapter.R}, windows: {adapter.num_windows}, "
+        f"points: {problem.variables.points.shape[0]}, "
+        f"batches: {[c.label for c in problem.cfgs]}"
+    )
+
+    summary = None
+    if not args.dont_optimize:
+        # solver auto-switch at 20k rigs (Settings.cpp:296-320)
+        direct = args.linear_solver == "direct" or (
+            args.linear_solver == "auto" and adapter.R < NUM_RIGS_FOR_ITERATIVE
+        )
+        settings = LMSettings(
+            max_iterations=args.max_num_iterations,
+            pcg_max_iterations=args.pcg_max_iterations,
+            direct_mode=direct,
+            log=log if args.verbose else None,
+        )
+        summary = optimize(problem, settings)
+        log(
+            f"optimize: cost {summary.initial_cost:.6g} -> {summary.final_cost:.6g} "
+            f"in {summary.num_iterations} iterations"
+        )
+
+    # outputs
+    if args.output_dir:
+        outdir = Path(args.output_dir)
+        outdir.mkdir(parents=True, exist_ok=True)
+        v = problem.variables
+        rows = np.asarray([adapter.traj_row[t] for t in adapter.rig_ts_us])
+        sd_out = sio.SessionData(**{**sd.__dict__})
+        sd_out.traj_timestamp_us = sd.traj_timestamp_us[rows]
+        sd_out.traj_utc_ns = sd.traj_utc_ns[rows]
+        sd_out.traj_quality = sd.traj_quality[rows]
+        sd_out.traj_session_uid = [sd.traj_session_uid[r] for r in rows]
+        for fn, writer in [
+            ("closed_loop_framerate_trajectory.csv", sio.save_close_loop_trajectory),
+            ("open_loop_framerate_trajectory.csv", sio.save_open_loop_trajectory),
+        ]:
+            writer(
+                outdir / fn, sd_out, np.asarray(v.pose_q), np.asarray(v.pose_t),
+                np.asarray(v.vel), np.asarray(v.omega), np.asarray(v.gravity),
+            )
+        save_online_calib_states(outdir / "online_calibration.jsonl", adapter)
+        log(f"outputs written to {outdir}")
+
+    if args.json_report and summary is not None:
+        report = {
+            "initialCost": summary.initial_cost,
+            "finalCost": summary.final_cost,
+            "numIterations": summary.num_iterations,
+            "numTroubledSeqs": summary.num_troubled_seqs,
+            "largestTroubledSeq": summary.largest_troubled_seq,
+            "totalTimeSec": time.time() - t0,
+        }
+        with open(args.json_report, "w") as f:
+            json.dump(report, f, indent=1)
+
+    return 0
+
+
+def save_online_calib_states(path, adapter):
+    """Per-rig re-estimated calibration (reference SaveOnlineCalib.cpp:23-64)."""
+    from ..models import imu as imu_model
+    from ..ops import camera as cam_ops
+    from . import session_data as sio
+
+    sd = adapter.sd
+    v = adapter.problem.variables
+    nC, nI = adapter.num_cams, adapter.num_imus
+    n_sec = max(nI - 1, 0)
+    states = []
+    for r, t_us in enumerate(adapter.rig_ts_us):
+        w = adapter.rig_window[r]
+        cams = []
+        for ci in range(nC):
+            row = w * nC + ci
+            base = sd.online[adapter.online_row[t_us]].cameras[ci]
+            intr = np.asarray(v.cam_intr[row])
+            # T_Device_Camera = (T_bodyImu_device)^-1 * (T_Cam_BodyImu)^-1
+            qc = np.asarray(v.cam_extr_q[row])
+            tc = np.asarray(v.cam_extr_t[row])
+            qd, td = sio._se3_inv(sd.q_bodyImu_device, sd.t_bodyImu_device)
+            qi, ti = sio._se3_inv(qc, tc)
+            qq, tt = sio._se3_mul(qd, td, qi, ti)
+            n = cam_ops.NUM_MODEL_PARAMS[adapter.camera_kind(ci)]
+            cams.append(
+                sio.CameraCalib(
+                    label=base.label, serial=base.serial,
+                    projection_name=base.projection_name, params=intr[:n],
+                    q_device_camera=qq, t_device_camera=tt,
+                    time_offset_sec=float(intr[cam_ops.TIME_OFFSET]),
+                    readout_time_sec=float(intr[cam_ops.READOUT])
+                    if base.readout_time_sec is not None
+                    else None,
+                    image_size=base.image_size,
+                )
+            )
+        imus = []
+        for ii in range(nI):
+            base = sd.online[adapter.online_row[t_us]].imus[ii]
+            cal = np.asarray(v.imu_calib[w * nI + ii])
+            if ii == 0:
+                qq, tt = sio._se3_inv(sd.q_bodyImu_device, sd.t_bodyImu_device)
+            else:
+                qe = np.asarray(v.imu_extr_q[w * n_sec + ii - 1])
+                te = np.asarray(v.imu_extr_t[w * n_sec + ii - 1])
+                qd, td = sio._se3_inv(sd.q_bodyImu_device, sd.t_bodyImu_device)
+                qi, ti = sio._se3_inv(qe, te)
+                qq, tt = sio._se3_mul(qd, td, qi, ti)
+            imus.append(sio.ImuCalib(label=base.label, calib23=cal, q_device_imu=qq, t_device_imu=tt))
+        states.append(sio.CalibrationState(timestamp_us=int(t_us), cameras=cams, imus=imus))
+    sio.save_online_calibration(path, states)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
