@@ -1,0 +1,135 @@
+"""Covariance + condensed-factor tests.
+
+Mirrors reference TestOptimizer.cpp:22-84 (covariances vs dense inverse) and
+TestCondensedFactor.cpp:83-774 (marginal re-injected as a condensed factor
+reproduces the original problem's solution)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visual_inertial_bundle_adjustment_tpu.pipeline.builder import (
+    BuildOptions,
+    build_synthetic_problem,
+)
+from visual_inertial_bundle_adjustment_tpu.pipeline.synthetic import SyntheticSession
+from visual_inertial_bundle_adjustment_tpu.problem import condensed, covariance, engine
+from visual_inertial_bundle_adjustment_tpu.problem import factors as fct
+from visual_inertial_bundle_adjustment_tpu.problem.optimizer import (
+    LMSettings,
+    Problem,
+    optimize,
+)
+from visual_inertial_bundle_adjustment_tpu.problem.structure import full_masks
+
+
+@pytest.fixture(scope="module")
+def problem():
+    s = SyntheticSession(duration=1.6, keyframe_hz=5.0, num_points=30, seed=23,
+                         pixel_noise=0.15)
+    p = build_synthetic_problem(
+        s, BuildOptions(init_pose_noise=0.004, init_point_noise=0.02,
+                        init_vel_noise=0.02)
+    )
+    optimize(p, LMSettings(max_iterations=15, log=None))
+    return p
+
+
+def _dense_hessian(problem, lam):
+    """Dense damped GN Hessian over free dims via the test-only autodiff path."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_engine import dense_reference, flatten_tangent
+
+    H, g, lg, _ = dense_reference(problem)
+    Hd = H.copy()
+    np.fill_diagonal(Hd, np.diag(H) * (1 + lam) + lam)
+    return Hd, g
+
+
+def test_rig_covariance_matches_dense(problem):
+    lam = 1e-7
+    with covariance.with_gauge_prior(problem):
+        entries = [("rig", 2, d) for d in range(12)]
+        cov = covariance.joint_covariance(problem, entries, lam=lam)
+        Hd, g = _dense_hessian(problem, lam)
+        # free-dim reduction
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_engine import flatten_tangent
+        from visual_inertial_bundle_adjustment_tpu.problem.structure import zero_tangent
+
+        masks = problem.masks
+        v = problem.variables
+        free = (
+            flatten_tangent(
+                zero_tangent(v)._replace(
+                    rig=masks.rig, cam_intr=masks.cam_intr, cam_extr=masks.cam_extr,
+                    imu_calib=masks.imu_calib, imu_extr=masks.imu_extr,
+                    det_bias=masks.det_bias, gravity=masks.gravity,
+                ),
+                np.asarray(masks.points),
+            )
+            > 0.5
+        )
+        Hf = Hd[np.ix_(free, free)]
+        Sinv = np.linalg.inv(Hf)
+        # locate rig 2's dims within the free set
+        idx_all = np.arange(len(free))
+        rig_dims = idx_all[2 * 12 : 3 * 12]  # rig block offsets in tangent order
+        pos_in_free = np.searchsorted(idx_all[free], rig_dims)
+        dense_block = Sinv[np.ix_(pos_in_free, pos_in_free)]
+    scale = np.abs(dense_block).max()
+    np.testing.assert_allclose(cov, dense_block, atol=3e-5 * scale)
+
+
+def test_condensed_factor_reproduces_marginal(problem):
+    rigs = [5, 6]
+    Hm, b = condensed.marginalize_onto_rigs(problem, rigs, lam=1e-7)
+    assert np.all(np.isfinite(Hm)) and np.all(np.isfinite(b))
+    # eigenvalues nonnegative (information matrix)
+    ev = np.linalg.eigvalsh(0.5 * (Hm + Hm.T))
+    assert ev.min() > -1e-6 * ev.max()
+
+    # build a tiny problem with ONLY the condensed factor; only those rigs +
+    # gravity free. Its GN step from the same linearization point must equal
+    # the full problem's (marginalization consistency).
+    v = problem.variables
+    kind, data = condensed.make_condensed_batch(v, rigs, Hm, b)
+    p2 = Problem(v, full_masks(v))
+    m = p2.masks
+    m = m._replace(
+        rig=jnp.zeros_like(m.rig).at[jnp.asarray(rigs)].set(1.0),
+        points=jnp.zeros_like(m.points),
+        cam_intr=jnp.zeros_like(m.cam_intr),
+        cam_extr=jnp.zeros_like(m.cam_extr),
+        imu_calib=jnp.zeros_like(m.imu_calib),
+        imu_extr=jnp.zeros_like(m.imu_extr),
+        det_bias=jnp.zeros_like(m.det_bias),
+    )
+    p2.masks = m
+    lam = 1e-7
+    lg2 = engine.linearize(tuple(p2.cfgs), tuple(p2.datas), v, m)
+    x_r2, _, *_ = engine.solve_step(
+        tuple(p2.cfgs), tuple(p2.datas), lg2, v, m, jnp.asarray(lam),
+        max_iters=500, rel_tol=1e-13,
+    )
+
+    # full problem solve restricted to the same rigs
+    cfgs, datas = tuple(problem.cfgs), tuple(problem.datas)
+    lg = engine.linearize(cfgs, datas, v, problem.masks)
+    x_r, _, *_ = engine.solve_step(
+        cfgs, datas, lg, v, problem.masks, jnp.asarray(lam),
+        max_iters=800, rel_tol=1e-13,
+    )
+    for r in rigs:
+        a = np.asarray(x_r.rig[r])
+        bb = np.asarray(x_r2.rig[r])
+        scale = max(np.abs(a).max(), 1e-9)
+        np.testing.assert_allclose(bb, a, atol=0.05 * scale + 1e-9)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])

@@ -103,7 +103,8 @@ def all_test_option_masks():
     return np.stack(out)
 
 
-def identity_calib(dtype=jnp.float64):
+def identity_calib(dtype=None):
+    dtype = dtype or jnp.asarray(0.0).dtype
     c = jnp.zeros(CALIB_DIM, dtype=dtype)
     return c.at[GYRO_SCALE].set(1.0).at[ACCEL_SCALE].set(1.0)
 
@@ -286,7 +287,8 @@ class ImuNoiseModel(NamedTuple):
     extr_rw_rot_var_per_sec: jnp.ndarray  # (3,)
 
 
-def default_noise_model(dtype=jnp.float64) -> ImuNoiseModel:
+def default_noise_model(dtype=None) -> ImuNoiseModel:
+    dtype = dtype or jnp.asarray(0.0).dtype
     turnon = np.zeros(CALIB_DIM)
     turnon[GYRO_BIAS] = 0.5 * _PI_REF / 180
     turnon[ACCEL_BIAS] = 0.03

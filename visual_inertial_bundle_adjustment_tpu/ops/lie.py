@@ -42,7 +42,8 @@ def _safe_vecnorm(v, keepdims=False):
 # ---------------------------------------------------------------------------
 
 
-def quat_identity(batch_shape=(), dtype=jnp.float64):
+def quat_identity(batch_shape=(), dtype=None):
+    dtype = dtype or jnp.asarray(0.0).dtype
     q = jnp.zeros(batch_shape + (4,), dtype=dtype)
     return q.at[..., 0].set(1.0)
 
@@ -210,7 +211,8 @@ def so3_left_jacobian_inverse(w):
 # ---------------------------------------------------------------------------
 
 
-def se3_identity(batch_shape=(), dtype=jnp.float64):
+def se3_identity(batch_shape=(), dtype=None):
+    dtype = dtype or jnp.asarray(0.0).dtype
     return quat_identity(batch_shape, dtype), jnp.zeros(batch_shape + (3,), dtype=dtype)
 
 

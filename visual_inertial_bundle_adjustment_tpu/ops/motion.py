@@ -29,7 +29,8 @@ class RotVelPos(NamedTuple):
     dt: jnp.ndarray  # (...,) seconds
 
 
-def rvp_identity(batch_shape=(), dtype=jnp.float64):
+def rvp_identity(batch_shape=(), dtype=None):
+    dtype = dtype or jnp.asarray(0.0).dtype
     return RotVelPos(
         lie.quat_identity(batch_shape, dtype),
         jnp.zeros(batch_shape + (3,), dtype),

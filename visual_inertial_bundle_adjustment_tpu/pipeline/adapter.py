@@ -268,6 +268,11 @@ class SessionAdapter:
         problem = Problem(v, masks)
         self.problem = problem
 
+        # rolling-shutter tables must exist before RS visual batches
+        self._rs_tables = None
+        if any(self.is_rolling_shutter(ci) or self.has_time_offset(ci) for ci in range(nC)):
+            self._rs_tables = self._build_rs_tables(v)
+
         # factor batches
         self._add_visual(problem, obs_point, obs_rig, obs_cam, obs_uv, obs_sqrt_h, obs_inlier)
         self._add_inertial(problem, imu_calib)
@@ -394,16 +399,14 @@ class SessionAdapter:
             )
             rs = self.is_rolling_shutter(ci) or self.has_time_offset(ci)
             if rs:
-                # rolling-shutter batch needs tables; wired by rs module later
-                self._pending_rs = (ci, data)
-                kind, label = "rs_visual", f"rs_visual_cam{ci}"
-                data = {k: v for k, v in data.items() if k != "bias" and k != "bias_on"}
+                data = {k: v for k, v in data.items() if k not in ("bias", "bias_on")}
                 data["rs_row"] = data["rig"]  # tables indexed per rig
-                data["rs_tables"] = self._build_rs_tables_stub()
+                data["rs_tables"] = self._rs_tables
                 h = self.sd.online[0].cameras[ci].image_size[1]
                 problem.add_batch(
-                    fct.BatchCfg(kind=kind, loss=REPROJ_LOSS,
-                                 camera_kind=self.camera_kind(ci), label=label,
+                    fct.BatchCfg(kind="rs_visual", loss=REPROJ_LOSS,
+                                 camera_kind=self.camera_kind(ci),
+                                 label=f"rs_visual_cam{ci}",
                                  image_height=float(h)),
                     data,
                 )
@@ -415,8 +418,88 @@ class SessionAdapter:
                     data,
                 )
 
-    def _build_rs_tables_stub(self):
-        return self._rs_tables  # built in _add_inertial (needs imu windows)
+    def _rs_half_length(self):
+        """Required integration span around the frame midpoint: readout/2 +
+        |time offset| + slack (reference InitCalibration.cpp:195-297)."""
+        half = 0.01
+        for ci in range(self.num_cams):
+            c = self.sd.online[0].cameras[ci]
+            ro = c.readout_time_sec or (0.03 if self.opts.estimate_readout else 0.0)
+            half = max(half, ro / 2 + abs(c.time_offset_sec) + 0.01)
+        return half
+
+    def _build_rs_tables(self, v):
+        """Per-rig RS tables from the body-IMU stream at the current
+        calibration/gravity (reference updateRollingShutterData,
+        InitCalibration.cpp:299-325)."""
+        from ..ops import rolling_shutter as rs
+
+        half = self._rs_half_length()
+        rig_t = self.rig_ts_us.astype(np.float64) * 1e-6
+        halves = np.full(self.R, half)
+        iv1, n1 = self._intervals_for(0, rig_t - half, rig_t, slack=0.02)
+        iv2, n2 = self._intervals_for(0, rig_t, rig_t + half, slack=0.02)
+        num_steps = max(n1, n2)
+        K = num_steps + 2
+        calib_rows = self.rig_window * self.num_imus + 0
+        calibs = v.imu_calib[jnp.asarray(calib_rows)]
+        return rs.build_rs_tables(
+            calibs, iv1, iv2, v.gravity, num_steps, K
+        )
+
+    def update_rolling_shutter_data(self):
+        """Refresh RS tables at the current estimates and swap them into all
+        rs_visual batches (the reference pre-step refresh, main:95-101)."""
+        if self._rs_tables is None:
+            return
+        self._rs_tables = self._build_rs_tables(self.problem.variables)
+        for cfg, data in zip(self.problem.cfgs, self.problem.datas):
+            if cfg.kind == "rs_visual":
+                data["rs_tables"] = self._rs_tables
+
+    def recompute_preintegrations(self):
+        """Re-run device-side preintegration at the CURRENT calibration
+        estimates and refresh all inertial batches (the reference's
+        --recompute-preint pre-step callback, main_AriaKit_ViBa.cpp:95-101 +
+        regenerateAllPreintegrationsFromImuMeasurements)."""
+        noise = imu_model.default_noise_model()
+        v = self.problem.variables
+        for cfg, data in zip(self.problem.cfgs, self.problem.datas):
+            if cfg.kind not in ("inertial", "inertial_secondary"):
+                continue
+            ii = 0 if cfg.kind == "inertial" else int(cfg.label.rsplit("imu", 1)[-1])
+            iv, num_steps, base_prevs = self._preint_cache[ii]
+            # batch rows are the build-time-valid subset of the cached
+            # intervals; locate them by prev-rig index (both sorted)
+            prevs = np.asarray(data["prev_rig"])
+            pos = np.searchsorted(base_prevs, prevs)
+            sub_iv = pre.PreintInterval(
+                iv.gyro_t[pos], iv.gyro_v[pos], iv.accel_t[pos], iv.accel_v[pos],
+                iv.t_len[pos],
+            )
+            calibs = v.imu_calib[data["calib"]]
+            p = pre.preintegrate_batch(calibs, sub_iv, noise, num_steps)
+            data["preint_q"] = p.rvp.q
+            data["preint_dv"] = p.rvp.dV
+            data["preint_dp"] = p.rvp.dP
+            data["preint_dt"] = p.rvp.dt
+            data["preint_J"] = p.J
+            data["calib_eval"] = p.calib_eval
+            data["sqrt_info"] = jnp.where(
+                p.valid[:, None, None], chol_inv_lower(p.cov), data["sqrt_info"]
+            )
+
+    def make_pre_step_callback(self, recompute_preint: bool):
+        """Pre-step hook for the LM loop (reference preStepCallback)."""
+
+        def cb(iteration, problem):
+            if iteration == 0:
+                return
+            if recompute_preint:
+                self.recompute_preintegrations()
+            self.update_rolling_shutter_data()
+
+        return cb
 
     def _imu_stream(self, ii):
         sd = self.sd
@@ -468,20 +551,24 @@ class SessionAdapter:
         prev = np.nonzero(pair_ok)[0]
         nxt = prev + 1
         if len(prev) == 0:
-            self._rs_tables = None
             return
-        noise = sd and imu_model.default_noise_model()
+        noise = imu_model.default_noise_model()
         self._omega_meas = {}
+        self._preint_cache = {}
 
         for ii in range(nI):
             iv, num_steps = self._intervals_for(ii, rig_t[prev], rig_t[nxt])
             calib_rows = self.rig_window[prev] * nI + ii
             calibs = jnp.asarray(imu_calib_init[calib_rows])
             p = pre.preintegrate_batch(calibs, iv, noise, num_steps)
+            self._preint_cache[ii] = (iv, num_steps, prev)
             ok = np.asarray(p.valid)
             if not ok.all():
                 self.log(f"imu {ii}: {int((~ok).sum())} invalid preint intervals dropped")
             sel = np.nonzero(ok)[0]
+            if not hasattr(self, "_preint_prev"):
+                self._preint_prev = {}
+            self._preint_prev[ii] = prev[sel]
             sqrt_info = chol_inv_lower(p.cov[sel])
             self._omega_meas[ii] = (nxt[sel], np.asarray(p.omega_at_end)[sel])
             mask = jnp.asarray(self.imu_calib_mask, jnp.float64)
@@ -511,7 +598,6 @@ class SessionAdapter:
                 problem.add_batch(
                     fct.BatchCfg(kind="inertial_secondary", label=f"inertial_imu{ii}"), common
                 )
-        self._rs_tables = None  # RS table construction wired in update_rs_tables
 
     def _add_random_walks(self, problem):
         """RW factors between consecutive windows (RandomWalkFactors.cpp:36-152)."""

@@ -30,9 +30,15 @@ OBS_SQRT_H = 0.7  # tools/save_observations fixed whitening (save_observations.p
 
 
 def chol_inv_lower(cov):
-    """sqrt information: L^-1 with cov = L L^T (batched)."""
-    L = jnp.linalg.cholesky(cov)
-    eye = jnp.broadcast_to(jnp.eye(cov.shape[-1], dtype=cov.dtype), cov.shape)
+    """sqrt information: L^-1 with cov = L L^T (batched).
+
+    A trace-relative jitter keeps the factorization finite in float32 (TPU),
+    where preintegration covariances have ~1e-9-scale eigenvalues."""
+    d = cov.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=cov.dtype), cov.shape)
+    tr = jnp.trace(cov, axis1=-2, axis2=-1)[..., None, None]
+    eps = 1e-7 if cov.dtype == jnp.float32 else 1e-14
+    L = jnp.linalg.cholesky(cov + eye * tr * eps)
     return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
 
 

@@ -236,7 +236,10 @@ class SyntheticSession:
     def observations(self, min_track_len=3):
         """Project landmarks into every (rig, camera); returns obs arrays.
 
+        Cached: the same session always yields identical (noisy) observations.
         Returns dict with point_idx, rig_idx, cam_idx, uv (noisy), all np."""
+        if hasattr(self, "_obs_cache"):
+            return self._obs_cache
         import jax.numpy as jnp
 
         from ..ops import lie
@@ -287,12 +290,13 @@ class SyntheticSession:
         # filter short tracks
         counts = np.bincount(pts, minlength=len(self.points_w))
         keep = counts[pts] >= min_track_len
-        return {
+        self._obs_cache = {
             "point": pts[keep],
             "rig": rigs[keep],
             "cam": cams[keep],
             "uv": uvs[keep],
         }
+        return self._obs_cache
 
     def preint_intervals(self, max_steps=None):
         """Padded PreintInterval batch for consecutive rig pairs + step bound."""

@@ -1,0 +1,125 @@
+"""Covariances and marginal problems over the reduced camera system.
+
+Counterpart of reference lib/small_thing/Optimizer.cpp:356-696
+(sparseElimMarginalInformation, computeMarginalProblem,
+computeJointCovariances, computeCovariances) and
+viba/problem/SingleSessionProblem.cpp:66-138: the reference reorders
+variables last and solves identity-seeded triangular systems against the
+supernodal factor; here covariance columns are Schur-reduced PCG solves with
+unit RHS, vmapped over the requested tangent directions.
+
+The gauge must be fixed first — SingleSessionProblem::computeCovariances adds
+a position+yaw prior on the first rig (PriorFactor.cpp:17-32) and removes it
+after; `with_gauge_prior` does the same on a copy of the batch list.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import engine
+from . import factors as fct
+from .structure import Tangent, zero_tangent
+
+GAUGE_POS_STD = 1e-4  # tight position prior
+GAUGE_YAW_STD = 1e-4  # tight yaw-about-gravity prior
+
+
+@contextlib.contextmanager
+def with_gauge_prior(problem, rig_index: int = 0):
+    """Temporarily constrain position+yaw of one rig (PriorFactor.cpp:17-32)."""
+    v = problem.variables
+    data = {
+        "rig": jnp.asarray([rig_index], jnp.int32),
+        "ref_q": v.pose_q[rig_index][None],
+        "ref_t": v.pose_t[rig_index][None],
+        "sqrt_h_pos": jnp.full((1, 3), 1.0 / GAUGE_POS_STD, v.points.dtype),
+        "sqrt_h_yaw": jnp.full((1, 1), 1.0 / GAUGE_YAW_STD, v.points.dtype),
+    }
+    problem.cfgs.append(fct.BatchCfg(kind="position_yaw_prior", label="gauge"))
+    problem.datas.append(data)
+    problem._jits = None
+    try:
+        yield problem
+    finally:
+        problem.cfgs.pop()
+        problem.datas.pop()
+        problem._jits = None
+
+
+def _unit_tangents(v, entries):
+    """Stack of K unit tangents for [(group, row, dim), ...]."""
+    outs = []
+    for group, row, dim in entries:
+        t = zero_tangent(v)
+        arr = getattr(t, group)
+        if arr.ndim == 1:
+            arr = arr.at[dim].set(1.0)
+        else:
+            arr = arr.at[row, dim].set(1.0)
+        outs.append(t._replace(**{group: arr}))
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+
+
+def solve_columns(problem, entries, lam=1e-9, pcg_iters=800, pcg_tol=1e-12):
+    """Columns of H^-1 (reduced part) for the requested tangent entries.
+
+    Returns a stacked Tangent with leading dim K = len(entries)."""
+    cfgs, datas = tuple(problem.cfgs), tuple(problem.datas)
+    v, masks = problem.variables, problem.masks
+    lg = engine.linearize(cfgs, datas, v, masks)
+    rs = engine.build_reduced_system(lg, v, masks, jnp.asarray(lam, v.points.dtype))
+    rhs = _unit_tangents(v, entries)
+
+    def solve_one(b):
+        x, rel, iters = engine.pcg_solve(lg, v, rs, b, pcg_iters, pcg_tol)
+        return x
+
+    return jax.vmap(solve_one)(rhs)
+
+
+def joint_covariance(problem, entries, **kw):
+    """K x K covariance over the requested tangent entries (gauge-fixed).
+
+    entries: [(group, row, dim), ...]. The caller should use with_gauge_prior
+    when the problem has unconstrained gauge freedom."""
+    cols = solve_columns(problem, entries, **kw)
+    K = len(entries)
+    cov = np.zeros((K, K))
+    for j, (group, row, dim) in enumerate(entries):
+        arr = getattr(cols, group)
+        for i in range(K):
+            gi, ri, di = entries[i]
+            a = getattr(cols, gi)
+            if a.ndim == 2:  # gravity: (K, 2)
+                cov[i, j] = float(a[j, di])
+            else:
+                cov[i, j] = float(a[j, ri, di])
+    # symmetrize (PCG solves are only approximately symmetric)
+    return 0.5 * (cov + cov.T)
+
+
+def rig_covariances(problem, rig_indices, **kw):
+    """Per-rig 12x12 joint covariance blocks (pose+vel+omega), gauge-fixed.
+
+    Reference SingleSessionProblem::computeCovariances (.cpp:66-138)."""
+    out = {}
+    with with_gauge_prior(problem):
+        for r in rig_indices:
+            entries = [("rig", int(r), d) for d in range(12)]
+            out[int(r)] = joint_covariance(problem, entries, **kw)
+    return out
+
+
+def marginal_information(problem, entries, **kw):
+    """Marginal information over the entries: inv(E^T H^-1 E).
+
+    Reference computeMarginalProblem (Optimizer.cpp:422-494): the marginal of
+    the full problem onto a variable subset, re-injectable as a condensed
+    factor."""
+    cov = joint_covariance(problem, entries, **kw)
+    return np.linalg.inv(cov)

@@ -229,7 +229,7 @@ def make_tables(
     num_imu_calib: int = 0,
     num_imu_extr: int = 0,
     num_cameras: int = 0,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> VariableTables:
     """Identity-initialized tables of the given sizes."""
     return VariableTables(
