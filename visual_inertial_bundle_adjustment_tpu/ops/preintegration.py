@@ -108,9 +108,10 @@ def preintegrate(
     aa_all = interval.accel_t - dt_accel
     gi0 = jnp.maximum(jnp.searchsorted(ag_all, _MARGIN, side="right"), 1)
     ai0 = jnp.maximum(jnp.searchsorted(aa_all, _MARGIN, side="right"), 1)
-    S = interval.gyro_t.shape[0]
+    S_g = interval.gyro_t.shape[0]
+    S_a = interval.accel_t.shape[0]
     # enough samples to cover the interval (last boundary beyond t_len - margin)
-    valid = (ag_all[S - 1] > t_len - _MARGIN) & (aa_all[S - 1] > t_len - _MARGIN)
+    valid = (ag_all[S_g - 1] > t_len - _MARGIN) & (aa_all[S_a - 1] > t_len - _MARGIN)
     valid &= (gi0 >= 1) & (ai0 >= 1)
 
     sigma_g = noise.gyro_sample_var.astype(dtype)
@@ -137,8 +138,8 @@ def preintegrate(
         done: jnp.ndarray
 
     def body(s: _S, _):
-        gi = jnp.clip(s.gi, 0, S - 1)
-        ai = jnp.clip(s.ai, 0, S - 1)
+        gi = jnp.clip(s.gi, 0, S_g - 1)
+        ai = jnp.clip(s.ai, 0, S_a - 1)
         ag = interval.gyro_t[gi] - dt_gyro
         aa = interval.accel_t[ai] - dt_accel
         t_meas_end = jnp.minimum(ag, aa)
@@ -306,12 +307,13 @@ def integrate_measurements(calib, interval: PreintInterval, num_steps: int):
     aa_all = interval.accel_t - dt_accel
     gi0 = jnp.maximum(jnp.searchsorted(ag_all, _MARGIN, side="right"), 1)
     ai0 = jnp.maximum(jnp.searchsorted(aa_all, _MARGIN, side="right"), 1)
-    S = interval.gyro_t.shape[0]
+    S_g = interval.gyro_t.shape[0]
+    S_a = interval.accel_t.shape[0]
 
     def body(s, _):
         gi, ai, t_prev, rvp, trans_g, trans_a, is_first, done = s
-        gic = jnp.clip(gi, 0, S - 1)
-        aic = jnp.clip(ai, 0, S - 1)
+        gic = jnp.clip(gi, 0, S_g - 1)
+        aic = jnp.clip(ai, 0, S_a - 1)
         ag = interval.gyro_t[gic] - dt_gyro
         aa = interval.accel_t[aic] - dt_accel
         t_meas_end = jnp.minimum(ag, aa)

@@ -60,6 +60,7 @@ def shard_problem(problem, mesh: Mesh, axis: str = "kf"):
 
     new_datas = []
     for cfg, data in zip(problem.cfgs, problem.datas):
+        data = {k: a for k, a in data.items() if not k.startswith("_ell")}
         size = next(a.shape[0] for a in data.values() if hasattr(a, "ndim") and a.ndim >= 1)
         n_pad = (-size) % n
         data = _pad_batch(data, n_pad)
@@ -73,5 +74,6 @@ def shard_problem(problem, mesh: Mesh, axis: str = "kf"):
     problem.datas = new_datas
     problem.variables = jax.device_put(problem.variables, replicated)
     problem.masks = jax.device_put(problem.masks, replicated)
+    problem.use_transpose_plans = False  # scatter+psum shards; ELL would all-gather
     problem._jits = None
     return problem

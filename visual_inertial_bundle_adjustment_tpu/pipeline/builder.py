@@ -45,6 +45,7 @@ def chol_inv_lower(cov):
 @dataclasses.dataclass
 class BuildOptions:
     estimate_imu_calib: bool = False
+    estimate_gravity: bool = True
     imu_calib_options: dict = dataclasses.field(default_factory=dict)  # options_mask kwargs
     estimate_cam_intr: bool = False
     estimate_cam_extr: bool = False
@@ -114,6 +115,8 @@ def build_synthetic_problem(s: SyntheticSession, opts: BuildOptions = None) -> P
         imu_calib=jnp.broadcast_to(jnp.asarray(calib_mask, v.points.dtype), v.imu_calib.shape)
     )
     masks = masks._replace(det_bias=jnp.zeros_like(masks.det_bias))
+    if not opts.estimate_gravity:
+        masks = masks._replace(gravity=jnp.zeros_like(masks.gravity))
 
     problem = Problem(v, masks)
 

@@ -172,6 +172,18 @@ def main(argv=None):
         f"batches: {[c.label for c in problem.cfgs]}"
     )
 
+    # per-point refinement before the big optimization (reference main:69)
+    from ..problem.point_refinement import refine_points
+
+    refine_points(problem, log=log if args.verbose else None)
+
+    from ..problem import histograms as hist
+
+    if args.verbose:
+        hist.show_histograms(problem, log=log)
+    if args.simple_stats:
+        hist.summarize(problem, log=log)
+
     summary = None
     if not args.dont_optimize:
         # solver auto-switch at 20k rigs (Settings.cpp:296-320)
@@ -183,12 +195,15 @@ def main(argv=None):
             pcg_max_iterations=args.pcg_max_iterations,
             direct_mode=direct,
             log=log if args.verbose else None,
+            pre_step_callback=adapter.make_pre_step_callback(args.recompute_preint),
         )
         summary = optimize(problem, settings)
         log(
             f"optimize: cost {summary.initial_cost:.6g} -> {summary.final_cost:.6g} "
             f"in {summary.num_iterations} iterations"
         )
+        if args.verbose:
+            hist.show_histograms(problem, log=log)
 
     # outputs
     if args.output_dir:

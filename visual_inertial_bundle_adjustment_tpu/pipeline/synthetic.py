@@ -215,9 +215,14 @@ class SyntheticSession:
             return w_body, f_body
 
         # apply time offsets: sample recorded at t corresponds to signal at
-        # tReference = t - dtRef => signal(t - dtRef)
-        w_true, _ = true_signals(g_t - c[imu_model.DT_REF_GYRO])
-        _, f_true = true_signals(a_t - c[imu_model.DT_REF_ACCEL])
+        # tReference = t - dtRef => signal(t - dtRef). Samples are the
+        # interval MIDPOINT values (real IMUs average over the sample period;
+        # this also makes the integrator's zero-order hold second-order
+        # accurate instead of carrying an O(dt*df) bias)
+        half_g = 0.5 / gyro_hz
+        half_a = 0.5 / accel_hz
+        w_true, _ = true_signals(g_t - c[imu_model.DT_REF_GYRO] - half_g)
+        _, f_true = true_signals(a_t - c[imu_model.DT_REF_ACCEL] - half_a)
 
         gyroN = np.asarray(imu_model.gyro_nonorth_matrix(c))
         accelN = np.asarray(imu_model.accel_nonorth_matrix(c))

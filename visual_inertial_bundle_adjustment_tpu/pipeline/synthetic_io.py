@@ -57,8 +57,9 @@ def _secondary_imu_stream(s: SyntheticSession, q_imu_body, t_imu_body, calib23,
         f_imu = sio._q_rot(qb, f_body_at_imu)
         return w_imu, f_imu
 
-    w_true, _ = true_signals(g_t - c[imu_model.DT_REF_GYRO])
-    _, f_true = true_signals(a_t - c[imu_model.DT_REF_ACCEL])
+    # midpoint sampling (see synthetic._gen_imu)
+    w_true, _ = true_signals(g_t - c[imu_model.DT_REF_GYRO] - 0.5 / gyro_hz)
+    _, f_true = true_signals(a_t - c[imu_model.DT_REF_ACCEL] - 0.5 / accel_hz)
     gyroN = np.asarray(imu_model.gyro_nonorth_matrix(c))
     accelN = np.asarray(imu_model.accel_nonorth_matrix(c))
     w_meas = np.einsum("ij,nj->ni", gyroN, w_true + c[imu_model.GYRO_BIAS]) * c[imu_model.GYRO_SCALE]

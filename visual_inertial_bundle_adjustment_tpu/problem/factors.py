@@ -67,25 +67,79 @@ class BatchCfg:
     camera_kind: int = cam_ops.KIND_FISHEYE624  # visual factors only
     label: str = ""  # for histograms / reports
     image_height: float = 480.0  # rolling-shutter visual factors only
+    # groups whose tangents are differentiated; None = all. Set by the
+    # optimizer from the masks so fully-constant groups skip forward-mode AD
+    # entirely (e.g. fixed intrinsics drop 17 of the visual factor's 40
+    # tangent dims).
+    active_groups: tuple | None = None
 
 
 class Lin(NamedTuple):
-    """Linearized batch: whitened residuals + Jacobian blocks."""
+    """Linearized batch: whitened residuals + Jacobian blocks.
+
+    `ell` entries are optional transpose plans: (rows, K) int32 arrays whose
+    row r lists the factor indices touching variable row r (sentinel N for
+    padding). They turn every factor->variable scatter-add into a dense
+    gather+sum — the TPU-fast formulation (XLA scatter with duplicate indices
+    serializes; gathers stream at HBM bandwidth)."""
 
     res: jnp.ndarray  # (N, d)
     valid: jnp.ndarray  # (N,) 0/1
     groups: tuple  # tuple of group names (static)
     idx: tuple  # tuple of (N,) index arrays
     jac: tuple  # tuple of (N, d, dim) blocks
+    ell: tuple = ()  # tuple of (rows, K) plans or None per entry
 
 
 # `groups` is a tuple of strings: keep it as static pytree aux data so Lin can
 # cross jit boundaries (explicit registration overrides the NamedTuple default)
 jax.tree_util.register_pytree_node(
     Lin,
-    lambda l: ((l.res, l.valid, l.idx, l.jac), l.groups),
-    lambda groups, ch: Lin(ch[0], ch[1], groups, ch[2], ch[3]),
+    lambda l: ((l.res, l.valid, l.idx, l.jac, l.ell), l.groups),
+    lambda groups, ch: Lin(ch[0], ch[1], groups, ch[2], ch[3], ch[4]),
 )
+
+
+def scatter_rows(lin_entry_ell, idx, contrib, num_rows):
+    """Sum per-factor rows into variable rows: ELL gather-sum when a plan
+    exists, XLA scatter-add otherwise."""
+    if lin_entry_ell is None:
+        return jnp.zeros((num_rows,) + contrib.shape[1:], contrib.dtype).at[idx].add(contrib)
+    ext = jnp.concatenate(
+        [contrib, jnp.zeros((1,) + contrib.shape[1:], contrib.dtype)], axis=0
+    )
+    return jnp.sum(ext[lin_entry_ell], axis=1)
+
+
+def build_transpose_plans(cfgs, datas, num_rows_by_group, max_expand=4.0):
+    """Host-side: add per-(batch, tangent) ELL plans into the data dicts.
+
+    Stored under data["_ell{i}"] for tangent position i. Skipped (scatter
+    fallback) when the padded plan would exceed max_expand x the factor count
+    (wildly skewed degree distributions)."""
+    import numpy as np
+
+    for cfg, data in zip(cfgs, datas):
+        spec = REGISTRY[cfg.kind]
+        for i, (group, field) in enumerate(spec["tangents"]):
+            key = f"_ell{i}"
+            if key in data or group == GRAVITY or field is None:
+                continue
+            idx = np.asarray(data[field])
+            n = len(idx)
+            rows = num_rows_by_group[group]
+            if rows == 0 or n == 0:
+                continue
+            counts = np.bincount(idx, minlength=rows)
+            K = int(counts.max())
+            if K * rows > max_expand * n + 1024:
+                continue
+            plan = np.full((rows, K), n, np.int32)
+            order = np.argsort(idx, kind="stable")
+            sorted_idx = idx[order]
+            pos_in_row = np.arange(n) - np.concatenate([[0], np.cumsum(counts)])[sorted_idx]
+            plan[sorted_idx, pos_in_row] = order
+            data[key] = jnp.asarray(plan)
 
 
 # ---------------------------------------------------------------------------
@@ -603,7 +657,9 @@ def batch_indices(cfg: BatchCfg, data) -> list:
 
 def _batch_size(data) -> int:
     for k, a in data.items():
-        if hasattr(a, "shape") and a.ndim >= 1:
+        if k.startswith("_"):
+            continue
+        if hasattr(a, "shape") and getattr(a, "ndim", 0) >= 1:
             return a.shape[0]
     raise ValueError("empty batch")
 
@@ -627,24 +683,41 @@ def residual_batch(cfg: BatchCfg, data, v: VariableTables):
 
 
 def linearize_batch(cfg: BatchCfg, data, v: VariableTables, masks: Masks) -> Lin:
-    """Residuals + per-factor Jacobian blocks (vmapped forward-mode AD)."""
+    """Residuals + per-factor Jacobian blocks (vmapped forward-mode AD).
+
+    Tangents of groups not in cfg.active_groups are held at zero as constants
+    (not differentiated), so constant variable groups cost nothing."""
     spec = REGISTRY[cfg.kind]
     args = spec["args"](v, data)
     n = _batch_size(data)
     dtype = v.points.dtype
-    groups = tuple(g for g, _ in spec["tangents"])
-    zeros = tuple(jnp.zeros((GROUP_DIMS[g],), dtype) for g in groups)
+    tangents = spec["tangents"]
+    if cfg.active_groups is not None:
+        active = [i for i, (g, _) in enumerate(tangents) if g in cfg.active_groups]
+    else:
+        active = list(range(len(tangents)))
+    zeros_full = tuple(jnp.zeros((GROUP_DIMS[g],), dtype) for g, _ in tangents)
+    zeros_active = tuple(zeros_full[i] for i in active)
 
     def row(ar):
-        f = lambda ts: spec["local"](ts, ar, cfg)
-        jacs, (res, valid) = jax.jacfwd(f, has_aux=True)(zeros)
-        return jacs, res, valid
+        def f(ts_active):
+            ts = list(zeros_full)
+            for pos, i in enumerate(active):
+                ts[i] = ts_active[pos]
+            return spec["local"](tuple(ts), ar, cfg)
 
-    jacs, res, valid = jax.vmap(row)(args)
+        jacs_active, (res, valid) = jax.jacfwd(f, has_aux=True)(zeros_active)
+        return jacs_active, res, valid
+
+    jacs_active, res, valid = jax.vmap(row)(args)
 
     idx = []
     masked_jacs = []
-    for (group, field), J in zip(spec["tangents"], jacs):
+    groups_out = []
+    ells = []
+    for pos, i in enumerate(active):
+        group, field = tangents[i]
+        J = jacs_active[pos]
         if field is None:
             ix = jnp.zeros(n, jnp.int32)
         else:
@@ -656,5 +729,7 @@ def linearize_batch(cfg: BatchCfg, data, v: VariableTables, masks: Masks) -> Lin
             mg = jnp.take(m, ix, axis=0)
         masked_jacs.append(J * mg[:, None, :])
         idx.append(ix)
-    return Lin(res=res, valid=valid.astype(dtype), groups=groups, idx=tuple(idx),
-               jac=tuple(masked_jacs))
+        groups_out.append(group)
+        ells.append(data.get(f"_ell{i}"))
+    return Lin(res=res, valid=valid.astype(dtype), groups=tuple(groups_out),
+               idx=tuple(idx), jac=tuple(masked_jacs), ell=tuple(ells))

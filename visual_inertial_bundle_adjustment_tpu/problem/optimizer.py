@@ -112,7 +112,43 @@ class Problem:
     def _build(self):
         if self._jits is not None:
             return self._jits
-        cfgs = tuple(self.cfgs)
+        import dataclasses as _dc
+
+        import numpy as _np
+
+        from . import factors as _fct
+
+        # statically drop tangents of fully-constant groups (masks all zero)
+        group_active = {
+            g: bool(_np.asarray(getattr(self.masks, g)).any())
+            for g in _fct.GROUP_DIMS
+            if g != _fct.POINTS
+        }
+        group_active[_fct.POINTS] = bool(_np.asarray(self.masks.points).any())
+        # ELL transpose plans (gather-sum scatters); skipped under sharding
+        if getattr(self, "use_transpose_plans", True):
+            rows = {
+                _fct.RIG: self.variables.pose_q.shape[0],
+                _fct.POINTS: self.variables.points.shape[0],
+                _fct.CAM_INTR: self.variables.cam_intr.shape[0],
+                _fct.CAM_EXTR: self.variables.cam_extr_q.shape[0],
+                _fct.IMU_CALIB: self.variables.imu_calib.shape[0],
+                _fct.IMU_EXTR: self.variables.imu_extr_q.shape[0],
+                _fct.DET_BIAS: self.variables.det_bias.shape[0],
+                _fct.GRAVITY: 1,
+            }
+            _fct.build_transpose_plans(self.cfgs, self.datas, rows)
+        cfgs = tuple(
+            _dc.replace(
+                cfg,
+                active_groups=tuple(
+                    g
+                    for g, _ in _fct.REGISTRY[cfg.kind]["tangents"]
+                    if group_active[g]
+                ),
+            )
+            for cfg in self.cfgs
+        )
 
         @jax.jit
         def k_linearize(datas, v, masks, alive):
@@ -145,7 +181,11 @@ class Problem:
         return self._jits
 
     def initial_alive(self):
-        return tuple(jnp.ones(next(a.shape[0] for a in d.values() if hasattr(a, "ndim") and a.ndim >= 1), self.variables.points.dtype) for d in self.datas)
+        from . import factors as _fct
+
+        return tuple(
+            jnp.ones(_fct._batch_size(d), self.variables.points.dtype) for d in self.datas
+        )
 
 
 def optimize(problem: Problem, settings: LMSettings) -> Summary:
