@@ -81,12 +81,12 @@ def dense_reference(problem):
         return jnp.concatenate([r.reshape(-1) for r, _ in all_residuals(flat)])
 
     J = np.asarray(jax.jacfwd(stacked)(jnp.asarray(flat0)))
-    # per-row weights from the linearization
+    # per-row weights from the linearization (Lin.res is (d, N))
     w_rows = []
     for lin, w in zip(lg.lins, lg.w):
-        w_rows.append(np.repeat(np.asarray(w), lin.res.shape[1]))
+        w_rows.append(np.repeat(np.asarray(w), lin.res.shape[0]))
     w_rows = np.concatenate(w_rows)
-    res0 = np.asarray(jnp.concatenate([lin.res.reshape(-1) for lin in lg.lins]))
+    res0 = np.asarray(jnp.concatenate([lin.res.T.reshape(-1) for lin in lg.lins]))
     H = J.T @ (w_rows[:, None] * J)
     g = J.T @ (w_rows * res0)
     return H, g, lg, J

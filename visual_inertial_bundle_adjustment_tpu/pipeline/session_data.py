@@ -316,26 +316,45 @@ def load_session(path, load_imu=True) -> SessionData:
         else [""] * len(ts_us)
     )
 
-    # observations
-    ob = np.genfromtxt(
-        path / "session_observations.csv", delimiter=",", names=True, dtype=None, encoding="utf-8"
-    )
-    ob = np.atleast_1d(ob)
-    obs_uv = np.stack([ob["projection_base_res_x"], ob["projection_base_res_y"]], -1)
-    sh = np.stack(
-        [ob["sqrt_h_base_res_00"], ob["sqrt_h_base_res_01"], ob["sqrt_h_base_res_10"],
-         ob["sqrt_h_base_res_11"]], -1,
-    ).reshape(-1, 2, 2)
+    # observations (native C++ parser with numpy fallback)
+    from . import native
 
-    # imu samples
+    parsed = native.parse_obs_csv(path / "session_observations.csv")
+    if parsed is not None:
+        obs_pid, obs_ts_ns, obs_cam, obs_uv, sh = parsed
+    else:
+        ob = np.genfromtxt(
+            path / "session_observations.csv", delimiter=",", names=True, dtype=None,
+            encoding="utf-8",
+        )
+        ob = np.atleast_1d(ob)
+        obs_pid = ob["point_id"].astype(np.int64)
+        ts_field = (
+            "capture_timestamp_ns" if "capture_timestamp_ns" in ob.dtype.names
+            else "capture_timestamp_us"
+        )
+        obs_ts_ns = ob[ts_field].astype(np.int64) * (1 if ts_field.endswith("ns") else 1000)
+        obs_cam = ob["camera_index"].astype(np.int32)
+        obs_uv = np.stack([ob["projection_base_res_x"], ob["projection_base_res_y"]], -1)
+        sh = np.stack(
+            [ob["sqrt_h_base_res_00"], ob["sqrt_h_base_res_01"], ob["sqrt_h_base_res_10"],
+             ob["sqrt_h_base_res_11"]], -1,
+        ).reshape(-1, 2, 2)
+
+    # imu samples (native C++ parser with numpy fallback)
     imu_times, imu_gyro, imu_accel = [], [], []
     if load_imu:
         for label in slam_imus:
             fn = path / f"imu_samples_{label}.csv"
-            arr = np.genfromtxt(fn, delimiter=",", skip_header=1)
-            imu_times.append(arr[:, 0].astype(np.int64))
-            imu_gyro.append(arr[:, 2:5])
-            imu_accel.append(arr[:, 5:8])
+            parsed = native.parse_imu_csv(fn)
+            if parsed is not None:
+                t, g, a = parsed
+            else:
+                arr = np.genfromtxt(fn, delimiter=",", skip_header=1)
+                t, g, a = arr[:, 0].astype(np.int64), arr[:, 2:5], arr[:, 5:8]
+            imu_times.append(t)
+            imu_gyro.append(g)
+            imu_accel.append(a)
 
     resets = np.zeros(0, np.int64)
     rp = path / "reset_events.json"
@@ -358,11 +377,9 @@ def load_session(path, load_imu=True) -> SessionData:
         traj_quality=qual,
         traj_session_uid=uids,
         traj_utc_ns=utc,
-        obs_point_id=ob["point_id"].astype(np.int64),
-        obs_timestamp_us=(ob["capture_timestamp_ns"].astype(np.int64) // 1000)
-        if "capture_timestamp_ns" in ob.dtype.names
-        else ob["capture_timestamp_us"].astype(np.int64),
-        obs_camera_index=ob["camera_index"].astype(np.int32),
+        obs_point_id=obs_pid,
+        obs_timestamp_us=obs_ts_ns // 1000,
+        obs_camera_index=obs_cam,
         obs_uv=obs_uv,
         obs_sqrt_h=sh,
         imu_times_ns=imu_times,

@@ -48,8 +48,9 @@ class LinearizedGraph(NamedTuple):
     num_optional: jnp.ndarray  # () count of optional factors
 
 
-def _batch_cost_terms(cfg: fct.BatchCfg, res, valid):
-    s = jnp.sum(res * res, axis=-1)
+def _batch_cost_terms(cfg: fct.BatchCfg, res, valid, axis=-1):
+    """res (N, d) with axis=-1 (cost paths) or (d, N) with axis=0 (Lin)."""
+    s = jnp.sum(res * res, axis=axis)
     kind, a, k = cfg.loss
     val, der = losses.loss_jet2(kind, a, k, s)
     return 0.5 * val * valid, der * valid
@@ -72,7 +73,7 @@ def linearize(cfgs, datas, v: VariableTables, masks: Masks, alive: tuple | None 
         if alive is not None and fct.REGISTRY[cfg.kind]["optional"]:
             valid = valid * alive[i]
             lin = lin._replace(valid=valid)
-        cost_f, w = _batch_cost_terms(cfg, lin.res, valid)
+        cost_f, w = _batch_cost_terms(cfg, lin.res, valid, axis=0)
         lins.append(lin)
         ws.append(w)
         costs.append(jnp.sum(cost_f))
@@ -154,13 +155,13 @@ def _accumulate_grad(lg: LinearizedGraph, v: VariableTables):
     g = zero_tangent(v)._asdict()
     gp = jnp.zeros_like(v.points)
     for lin, w in zip(lg.lins, lg.w):
-        wres = lin.res * w[:, None]
+        wres = lin.res * w[None, :]  # (d, N)
         for group, idx, J, ell in zip(lin.groups, lin.idx, lin.jac, lin.ell):
-            contrib = jnp.einsum("nij,ni->nj", J, wres)
+            contrib = jnp.einsum("dkn,dn->kn", J, wres)  # (dim, N)
             if group == fct.POINTS:
                 gp = gp + fct.scatter_rows(ell, idx, contrib, gp.shape[0])
             elif group == fct.GRAVITY:
-                g[group] = g[group] + jnp.sum(contrib, axis=0)
+                g[group] = g[group] + jnp.sum(contrib, axis=-1)
             else:
                 g[group] = g[group] + fct.scatter_rows(ell, idx, contrib, g[group].shape[0])
     return Tangent(**g), gp
@@ -172,11 +173,11 @@ def _hess_diag(lg: LinearizedGraph, v: VariableTables):
     dp = jnp.zeros_like(v.points)
     for lin, w in zip(lg.lins, lg.w):
         for group, idx, J, ell in zip(lin.groups, lin.idx, lin.jac, lin.ell):
-            contrib = jnp.einsum("nij,nij->nj", J, J * w[:, None, None])
+            contrib = jnp.einsum("dkn,dkn->kn", J, J * w[None, None, :])  # (dim, N)
             if group == fct.POINTS:
                 dp = dp + fct.scatter_rows(ell, idx, contrib, dp.shape[0])
             elif group == fct.GRAVITY:
-                d[group] = d[group] + jnp.sum(contrib, axis=0)
+                d[group] = d[group] + jnp.sum(contrib, axis=-1)
             else:
                 d[group] = d[group] + fct.scatter_rows(ell, idx, contrib, d[group].shape[0])
     return Tangent(**d), dp
@@ -190,7 +191,7 @@ def _point_blocks(lg: LinearizedGraph, v: VariableTables, lam):
         for group, idx, J, ell in zip(lin.groups, lin.idx, lin.jac, lin.ell):
             if group != fct.POINTS:
                 continue
-            contrib = jnp.einsum("nij,nik->njk", J * w[:, None, None], J)
+            contrib = jnp.einsum("dan,dbn->abn", J * w[None, None, :], J)  # (3,3,N)
             H = H + fct.scatter_rows(ell, idx, contrib, L)
     # damping diag*(1+lam)+lam; masked/unobserved dims get identity via +lam
     diag = jnp.diagonal(H, axis1=-2, axis2=-1)
@@ -203,22 +204,22 @@ def _hmatvec(lg: LinearizedGraph, v, x: Tangent, xp):
     y = zero_tangent(v)._asdict()
     yp = jnp.zeros_like(v.points)
     for lin, w in zip(lg.lins, lg.w):
-        u = jnp.zeros_like(lin.res)
+        u = jnp.zeros_like(lin.res)  # (d, N)
         for group, idx, J in zip(lin.groups, lin.idx, lin.jac):
             if group == fct.POINTS:
-                xv = xp[idx]
+                xvT = xp[idx].T
             elif group == fct.GRAVITY:
-                xv = jnp.broadcast_to(x.gravity, (J.shape[0], 2))
+                xvT = jnp.broadcast_to(x.gravity[:, None], (2, J.shape[-1]))
             else:
-                xv = getattr(x, group)[idx]
-            u = u + jnp.einsum("nij,nj->ni", J, xv)
-        wu = u * w[:, None]
+                xvT = getattr(x, group)[idx].T
+            u = u + jnp.einsum("dkn,kn->dn", J, xvT)
+        wu = u * w[None, :]
         for group, idx, J, ell in zip(lin.groups, lin.idx, lin.jac, lin.ell):
-            contrib = jnp.einsum("nij,ni->nj", J, wu)
+            contrib = jnp.einsum("dkn,dn->kn", J, wu)
             if group == fct.POINTS:
                 yp = yp + fct.scatter_rows(ell, idx, contrib, yp.shape[0])
             elif group == fct.GRAVITY:
-                y[group] = y[group] + jnp.sum(contrib, axis=0)
+                y[group] = y[group] + jnp.sum(contrib, axis=-1)
             else:
                 y[group] = y[group] + fct.scatter_rows(ell, idx, contrib, y[group].shape[0])
     return Tangent(**y), yp
@@ -295,9 +296,9 @@ def _build_preconditioner(lg, v, masks: Masks, lam, H_ll_inv):
             if group == fct.POINTS:
                 pt_entry = (idx, J)
                 continue
-            B = jnp.einsum("nij,nik->njk", J * w[:, None, None], J)
+            B = jnp.einsum("dan,dbn->abn", J * w[None, None, :], J)  # (dim,dim,N)
             if group == fct.GRAVITY:
-                blocks[group] = blocks[group].at[0].add(jnp.sum(B, axis=0))
+                blocks[group] = blocks[group].at[0].add(jnp.sum(B, axis=-1))
             else:
                 blocks[group] = blocks[group] + fct.scatter_rows(
                     ell, idx, B, blocks[group].shape[0]
@@ -305,12 +306,12 @@ def _build_preconditioner(lg, v, masks: Masks, lam, H_ll_inv):
         # rig Schur self-correction from landmark elimination
         if pt_entry is not None:
             pidx, Jp = pt_entry
-            Hinv = H_ll_inv[pidx]
+            HinvT = jnp.transpose(H_ll_inv[pidx], (1, 2, 0))  # (3,3,N)
             for group, idx, J, ell in zip(lin.groups, lin.idx, lin.jac, lin.ell):
                 if group != fct.RIG:
                     continue
-                A = jnp.einsum("nij,nik->njk", J * w[:, None, None], Jp)  # (N,12,3)
-                corr = jnp.einsum("nab,nbc,ndc->nad", A, Hinv, A)  # A H^-1 A^T
+                A = jnp.einsum("dan,dbn->abn", J * w[None, None, :], Jp)  # (12,3,N)
+                corr = jnp.einsum("abn,bcn,dcn->adn", A, HinvT, A)  # (12,12,N)
                 blocks[group] = blocks[group] - fct.scatter_rows(
                     ell, idx, corr, blocks[group].shape[0]
                 )
@@ -359,19 +360,19 @@ def _w_transpose_x(lg, v, x: Tangent):
     for lin, w in zip(lg.lins, lg.w):
         if fct.POINTS not in lin.groups:
             continue
-        u = jnp.zeros_like(lin.res)
+        u = jnp.zeros_like(lin.res)  # (d, N)
         pt_idx, pt_J, pt_ell = None, None, None
         for group, idx, J, ell in zip(lin.groups, lin.idx, lin.jac, lin.ell):
             if group == fct.POINTS:
                 pt_idx, pt_J, pt_ell = idx, J, ell
                 continue
-            xv = (
-                jnp.broadcast_to(x.gravity, (J.shape[0], 2))
+            xvT = (
+                jnp.broadcast_to(x.gravity[:, None], (2, J.shape[-1]))
                 if group == fct.GRAVITY
-                else getattr(x, group)[idx]
+                else getattr(x, group)[idx].T
             )
-            u = u + jnp.einsum("nij,nj->ni", J, xv)
-        contrib = jnp.einsum("nij,ni->nj", pt_J, u * w[:, None])
+            u = u + jnp.einsum("dkn,kn->dn", J, xvT)
+        contrib = jnp.einsum("dkn,dn->kn", pt_J, u * w[None, :])
         t = t + fct.scatter_rows(pt_ell, pt_idx, contrib, t.shape[0])
     return t
 
@@ -382,17 +383,17 @@ def _w_y(lg, v, yl):
     for lin, w in zip(lg.lins, lg.w):
         if fct.POINTS not in lin.groups:
             continue
-        u = jnp.zeros_like(lin.res)
+        u = jnp.zeros_like(lin.res)  # (d, N)
         for group, idx, J in zip(lin.groups, lin.idx, lin.jac):
             if group == fct.POINTS:
-                u = u + jnp.einsum("nij,nj->ni", J, yl[idx])
-        wu = u * w[:, None]
+                u = u + jnp.einsum("dkn,kn->dn", J, yl[idx].T)
+        wu = u * w[None, :]
         for group, idx, J, ell in zip(lin.groups, lin.idx, lin.jac, lin.ell):
             if group == fct.POINTS:
                 continue
-            contrib = jnp.einsum("nij,ni->nj", J, wu)
+            contrib = jnp.einsum("dkn,dn->kn", J, wu)
             if group == fct.GRAVITY:
-                y[group] = y[group] + jnp.sum(contrib, axis=0)
+                y[group] = y[group] + jnp.sum(contrib, axis=-1)
             else:
                 y[group] = y[group] + fct.scatter_rows(ell, idx, contrib, y[group].shape[0])
     return Tangent(**y)

@@ -77,17 +77,23 @@ class BatchCfg:
 class Lin(NamedTuple):
     """Linearized batch: whitened residuals + Jacobian blocks.
 
+    LAYOUT: the factor axis N is LAST everywhere (res (d, N), jac blocks
+    (d, dim, N)). TPU tiles pad the two minor-most dims to (8, 128); with the
+    small residual/tangent dims leading and the large batch dim minor-most,
+    arrays are stored essentially unpadded (a (N, 2, 12) layout would waste
+    ~14x memory and bandwidth in padding).
+
     `ell` entries are optional transpose plans: (rows, K) int32 arrays whose
     row r lists the factor indices touching variable row r (sentinel N for
     padding). They turn every factor->variable scatter-add into a dense
     gather+sum — the TPU-fast formulation (XLA scatter with duplicate indices
     serializes; gathers stream at HBM bandwidth)."""
 
-    res: jnp.ndarray  # (N, d)
+    res: jnp.ndarray  # (d, N)
     valid: jnp.ndarray  # (N,) 0/1
     groups: tuple  # tuple of group names (static)
     idx: tuple  # tuple of (N,) index arrays
-    jac: tuple  # tuple of (N, d, dim) blocks
+    jac: tuple  # tuple of (d, dim, N) blocks
     ell: tuple = ()  # tuple of (rows, K) plans or None per entry
 
 
@@ -101,14 +107,18 @@ jax.tree_util.register_pytree_node(
 
 
 def scatter_rows(lin_entry_ell, idx, contrib, num_rows):
-    """Sum per-factor rows into variable rows: ELL gather-sum when a plan
-    exists, XLA scatter-add otherwise."""
+    """Sum per-factor columns into variable rows.
+
+    contrib: (dim..., N) with the factor axis LAST; returns (num_rows, dim...).
+    ELL gather-sum when a plan exists, XLA scatter-add otherwise."""
+    lead = contrib.shape[:-1]
     if lin_entry_ell is None:
-        return jnp.zeros((num_rows,) + contrib.shape[1:], contrib.dtype).at[idx].add(contrib)
-    ext = jnp.concatenate(
-        [contrib, jnp.zeros((1,) + contrib.shape[1:], contrib.dtype)], axis=0
-    )
-    return jnp.sum(ext[lin_entry_ell], axis=1)
+        moved = jnp.moveaxis(contrib, -1, 0)  # (N, dim...)
+        return jnp.zeros((num_rows,) + lead, contrib.dtype).at[idx].add(moved)
+    flat = contrib.reshape((-1, contrib.shape[-1]))  # (D, N)
+    ext = jnp.concatenate([flat, jnp.zeros((flat.shape[0], 1), contrib.dtype)], axis=1)
+    out = jnp.sum(ext[:, lin_entry_ell], axis=-1)  # (D, rows)
+    return jnp.moveaxis(out, 0, -1).reshape((lin_entry_ell.shape[0],) + lead)
 
 
 def build_transpose_plans(cfgs, datas, num_rows_by_group, max_expand=4.0):
@@ -710,6 +720,7 @@ def linearize_batch(cfg: BatchCfg, data, v: VariableTables, masks: Masks) -> Lin
         return jacs_active, res, valid
 
     jacs_active, res, valid = jax.vmap(row)(args)
+    res = res.T  # (d, N)
 
     idx = []
     masked_jacs = []
@@ -724,10 +735,11 @@ def linearize_batch(cfg: BatchCfg, data, v: VariableTables, masks: Masks) -> Lin
             ix = data[field]
         m = getattr(masks, group)
         if m.ndim == 1:  # gravity (2,)
-            mg = jnp.broadcast_to(m, (n,) + m.shape)
+            mgT = jnp.broadcast_to(m[:, None], (m.shape[0], n))
         else:
-            mg = jnp.take(m, ix, axis=0)
-        masked_jacs.append(J * mg[:, None, :])
+            mgT = jnp.take(m, ix, axis=0).T  # (dim, N)
+        J = jnp.transpose(J, (1, 2, 0))  # (d, dim, N)
+        masked_jacs.append(J * mgT[None, :, :])
         idx.append(ix)
         groups_out.append(group)
         ells.append(data.get(f"_ell{i}"))

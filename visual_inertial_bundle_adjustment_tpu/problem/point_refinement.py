@@ -33,18 +33,18 @@ def _point_cost_grad_hess(problem, points):
         if not any(g == fct.POINTS for g, _ in spec["tangents"]):
             continue
         lin = fct.linearize_batch(cfg, data, v, problem.masks)
-        s = jnp.sum(lin.res * lin.res, axis=-1)
+        s = jnp.sum(lin.res * lin.res, axis=0)
         kind, a, k = cfg.loss
         val, der = losses.loss_jet2(kind, a, k, s)
         w = der * lin.valid
-        pi = dict(zip(lin.groups, range(len(lin.groups))))
-        # the POINTS block may repeat; find its entries
-        for g, idx, J in zip(lin.groups, lin.idx, lin.jac):
+        for g, idx, J, ell in zip(lin.groups, lin.idx, lin.jac, lin.ell):
             if g != fct.POINTS:
                 continue
-            cost = cost.at[idx].add(0.5 * val * lin.valid)
-            grad = grad.at[idx].add(jnp.einsum("nij,ni->nj", J, w[:, None] * lin.res))
-            hess = hess.at[idx].add(jnp.einsum("nij,nik->njk", J * w[:, None, None], J))
+            cost = cost + fct.scatter_rows(ell, idx, (0.5 * val * lin.valid)[None], L)[:, 0]
+            gc = jnp.einsum("dkn,dn->kn", J, w[None, :] * lin.res)
+            grad = grad + fct.scatter_rows(ell, idx, gc, L)
+            hc = jnp.einsum("dan,dbn->abn", J * w[None, None, :], J)
+            hess = hess + fct.scatter_rows(ell, idx, hc, L)
     return cost, grad, hess
 
 
