@@ -53,11 +53,11 @@ def pad_interval(g_t, g_v, a_t, a_v, t_len, S=None, dtype=jnp.float64):
     S = S or max(len(g_t), len(a_t))
     def pad_t(t):
         out = np.full(S, 1e9)
-        out[: len(t)] = t
+        out[: min(len(t), S)] = t[:S]
         return out
     def pad_v(v):
         out = np.zeros((S, 3))
-        out[: len(v)] = v
+        out[: min(len(v), S)] = v[:S]
         return out
     return pre.PreintInterval(
         jnp.asarray(pad_t(g_t), dtype),
