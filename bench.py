@@ -55,7 +55,8 @@ def timed_iterations(problem, n_iters, pcg_iters=40):
 
     from visual_inertial_bundle_adjustment_tpu.problem.structure import t_scale
 
-    k_lin, k_solve, k_resolve, k_cost, k_grad, k_retract = problem._build()
+    (k_lin, k_solve, k_resolve, k_cost, k_grad, k_retract,
+     k_assemble) = problem._build()
     datas = tuple(problem.datas)
     v, masks = problem.variables, problem.masks
     dtype = v.points.dtype
@@ -63,8 +64,9 @@ def timed_iterations(problem, n_iters, pcg_iters=40):
 
     def one_iter(v):
         lg = k_lin(datas, v, masks, None)
+        asm = k_assemble(datas, lg, v, masks)
         x_r, x_l, model_red, rel, iters, rs, (g_r, g_l) = k_solve(
-            datas, lg, v, masks, lam, pcg_iters, 1e-10
+            asm, datas, lg, v, masks, lam, pcg_iters, 1e-10
         )
         v2, ratios = k_retract(v, t_scale(x_r, -1.0), -x_l, masks, jnp.asarray(1.0, dtype))
         stats = k_cost(datas, v2, lg)

@@ -1,0 +1,65 @@
+"""Monitoring subsystem (utils/monitoring.py): per-iteration capture,
+background runner, JSONL + HTML sinks — the reference GUI's data-flow parity
+(gui/MonitoringState.h)."""
+
+import json
+import pathlib
+
+import numpy as np
+
+from visual_inertial_bundle_adjustment_tpu.pipeline.builder import (
+    BuildOptions,
+    build_synthetic_problem,
+)
+from visual_inertial_bundle_adjustment_tpu.pipeline.synthetic import SyntheticSession
+from visual_inertial_bundle_adjustment_tpu.problem.optimizer import LMSettings, optimize
+from visual_inertial_bundle_adjustment_tpu.utils import monitoring
+
+
+def _problem():
+    s = SyntheticSession(duration=4.0, keyframe_hz=5.0, gyro_hz=200.0,
+                         accel_hz=200.0, num_points=40, seed=11, pixel_noise=0.2)
+    return build_synthetic_problem(
+        s, BuildOptions(init_pose_noise=0.01, init_point_noise=0.04,
+                        init_vel_noise=0.04))
+
+
+def test_monitor_captures_iterations(tmp_path: pathlib.Path):
+    problem = _problem()
+    mon = monitoring.Monitor(snapshot_every=2, jsonl_path=str(tmp_path / "m.jsonl"))
+    settings = LMSettings(max_iterations=5,
+                          iteration_callback=mon.make_callback(problem))
+    summary = optimize(problem, settings)
+    mon.finish(summary)
+
+    assert len(mon.iterations) >= 2
+    it = mon.iterations[0]
+    assert it.cost > 0 and it.damping > 0
+    # snapshots captured on the scheduled iterations
+    snaps = [d for d in mon.iterations if d.trajectory is not None]
+    assert snaps and snaps[0].points is not None
+    assert snaps[0].residual_percentiles  # per-class percentiles present
+    # costs decrease overall
+    assert mon.iterations[-1].cost < mon.iterations[0].prev_cost
+
+    # JSONL sink wrote one line per iteration
+    lines = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    assert len(lines) == len(mon.iterations)
+    assert "pcg_iters" in lines[0]
+
+    # HTML dashboard renders with curves + trajectory panels
+    out = monitoring.render_html(mon, str(tmp_path / "dash.html"))
+    html = open(out).read()
+    assert "cost (log10)" in html and "polyline" in html
+    assert "top view" in html
+
+
+def test_background_runner():
+    problem = _problem()
+    mon = monitoring.Monitor(snapshot_every=0)
+    t = monitoring.optimize_in_background(
+        problem, LMSettings(max_iterations=3), mon)
+    t.join(timeout=600)
+    assert not t.is_alive()
+    assert mon.done and mon.summary is not None
+    assert mon.summary.final_cost <= mon.summary.initial_cost

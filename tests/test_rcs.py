@@ -1,0 +1,119 @@
+"""Blocked MXU RCS solver (problem/rcs.py) vs the generic engine.
+
+The blocked engine must produce the SAME solve (same damped Schur system,
+same PCG) as engine.solve_step — only the execution strategy differs
+(one-hot block matmuls vs gathers/scatters)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def kb_cfgs(p):
+    """cfgs with active_groups resolved, as Problem._build does."""
+    from visual_inertial_bundle_adjustment_tpu.problem import factors as fct
+
+    ga = {g: bool(np.asarray(getattr(p.masks, g)).any())
+          for g in fct.GROUP_DIMS if g != fct.POINTS}
+    ga[fct.POINTS] = True
+    return tuple(
+        dataclasses.replace(c, active_groups=tuple(
+            g for g, _ in fct.REGISTRY[c.kind]["tangents"] if ga[g]))
+        for c in p.cfgs
+    )
+
+from visual_inertial_bundle_adjustment_tpu.pipeline.builder import (
+    BuildOptions,
+    build_synthetic_problem,
+)
+from visual_inertial_bundle_adjustment_tpu.pipeline.synthetic import SyntheticSession
+from visual_inertial_bundle_adjustment_tpu.problem import engine, rcs
+from visual_inertial_bundle_adjustment_tpu.problem.optimizer import (
+    LMSettings,
+    optimize,
+    pick_solver,
+)
+from visual_inertial_bundle_adjustment_tpu.problem.structure import t_dot
+
+
+def _problem():
+    s = SyntheticSession(duration=6.0, keyframe_hz=5.0, gyro_hz=200.0,
+                         accel_hz=200.0, num_points=60, seed=3, pixel_noise=0.2)
+    return build_synthetic_problem(
+        s, BuildOptions(init_pose_noise=0.01, init_point_noise=0.05,
+                        init_vel_noise=0.05))
+
+
+def test_blocked_solve_matches_generic():
+    pa = _problem()
+    pb = _problem()
+    # generic path on pa
+    pa.use_blocked_engine = False
+    ka = pa._build()
+    # blocked path on pb (tiny tiles to exercise the ragged multi-tile code)
+    rcs.finalize_blocks(pb, rb=8, prb=16, ts=64)
+    assert any(getattr(c, "block_info", None) for c in pb.cfgs)
+    kb = pb._build()
+
+    lam = jnp.asarray(1e-4)
+    lg_a = ka[0](tuple(pa.datas), pa.variables, pa.masks, None)
+    lg_b = kb[0](tuple(pb.datas), pb.variables, pb.masks, None)
+    # same cost despite the reordered+padded batch
+    np.testing.assert_allclose(float(lg_a.cost), float(lg_b.cost), rtol=1e-12)
+    assert int(lg_a.num_invalid) == int(lg_b.num_invalid)
+    assert int(lg_a.num_optional) == int(lg_b.num_optional)
+
+    asm_a = ka[6](tuple(pa.datas), lg_a, pa.variables, pa.masks)
+    asm_bk = kb[6](tuple(pb.datas), lg_b, pb.variables, pb.masks)
+    out_a = ka[1](asm_a, tuple(pa.datas), lg_a, pa.variables, pa.masks, lam, 400, 1e-13)
+    out_b = kb[1](asm_bk, tuple(pb.datas), lg_b, pb.variables, pb.masks, lam, 400, 1e-13)
+    xa_r = out_a[0]
+    xb_r = out_b[0]
+
+    # The two solvers sum in different orders, so their converged solutions
+    # agree only up to kappa * reorder-noise. The strong check: the BLOCKED
+    # solution must satisfy the GENERIC engine's damped Schur system.
+    rs_a = engine.build_reduced_system(lg_a, pa.variables, pa.masks, lam,
+                                       precond_blocks=False)
+    g_r, g_l = engine._accumulate_grad(lg_a, pa.variables)
+    b = engine.reduce_rhs(lg_a, pa.variables, rs_a, g_r, g_l)
+    r = jax.tree_util.tree_map(
+        jnp.subtract, b, engine.reduced_matvec(lg_a, pa.variables, rs_a, xb_r))
+    rel = float(jnp.sqrt(t_dot(r, r) / t_dot(b, b)))
+    assert rel < 1e-6, rel
+    # and vice versa (generic solution in the blocked operator)
+    asm_b = rcs.assemble(kb_cfgs(pb), tuple(pb.datas), lg_b, pb.variables,
+                         pb.masks)
+    rs_b = rcs.with_damping(asm_b, pb.variables, pb.masks, lam)
+    gb_r, gb_l = asm_b.g_r, asm_b.g_l
+    zb = engine._chol_solve(rs_b.H_ll_inv, gb_l)
+    bb = jax.tree_util.tree_map(jnp.subtract, gb_r, rcs.w_y(rs_b, pb.variables, zb))
+    rb_ = jax.tree_util.tree_map(
+        jnp.subtract, bb, rcs.matvec(rs_b, pb.variables, xa_r))
+    rel_b = float(jnp.sqrt(t_dot(rb_, rb_) / t_dot(bb, bb)))
+    assert rel_b < 1e-6, rel_b
+    # model cost reduction agrees
+    np.testing.assert_allclose(float(out_a[2]), float(out_b[2]), rtol=1e-6)
+
+
+def test_blocked_optimize_converges_same():
+    pa = _problem()
+    pb = _problem()
+    pa.use_blocked_engine = False
+    rcs.finalize_blocks(pb, rb=16, prb=16, ts=128)
+    assert any(getattr(c, "block_info", None) for c in pb.cfgs)
+    sa = optimize(pa, LMSettings(max_iterations=8))
+    sb = optimize(pb, LMSettings(max_iterations=8))
+    np.testing.assert_allclose(sa.final_cost, sb.final_cost, rtol=1e-5)
+
+
+def test_pick_solver_threshold():
+    s = pick_solver(LMSettings(), 100, "auto")
+    assert s.direct_mode
+    s = pick_solver(LMSettings(), 30_000, "auto")
+    assert not s.direct_mode and s.preconditioner == "gauss_seidel"
+    s = pick_solver(LMSettings(), 100, "lower-prec")
+    assert s.preconditioner == "lower_prec"

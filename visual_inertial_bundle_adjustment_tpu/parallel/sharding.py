@@ -41,7 +41,9 @@ def _pad_batch(data: dict, n_pad: int):
             out[k] = a
             continue
         pad_row = jnp.zeros_like(a[:1])
-        if k in ("sqrt_h", "sqrt_info", "sqrt_w"):
+        if k == "_pad":
+            pad_row = jnp.ones_like(a[:1])  # mesh-padding rows are pads too
+        elif k in ("sqrt_h", "sqrt_info", "sqrt_w"):
             pass  # zero weight
         elif k in ("prev_rig", "next_rig", "rig", "point", "intr", "extr", "bias",
                    "calib", "prev", "next", "idx", "prev_extr", "next_extr", "rs_row"):
@@ -58,9 +60,17 @@ def shard_problem(problem, mesh: Mesh, axis: str = "kf"):
     sharded = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
 
+    import dataclasses as _dc
+
     new_datas = []
+    new_cfgs = []
     for cfg, data in zip(problem.cfgs, problem.datas):
-        data = {k: a for k, a in data.items() if not k.startswith("_ell")}
+        # drop layout-plan keys (ELL, block grids, point permutations — their
+        # lengths differ from the factor axis); keep _pad, it shards with it
+        data = {k: a for k, a in data.items() if not k.startswith("_") or k == "_pad"}
+        if getattr(cfg, "block_info", None):
+            cfg = _dc.replace(cfg, block_info=None)
+        new_cfgs.append(cfg)
         size = next(a.shape[0] for a in data.values() if hasattr(a, "ndim") and a.ndim >= 1)
         n_pad = (-size) % n
         data = _pad_batch(data, n_pad)
@@ -72,8 +82,10 @@ def shard_problem(problem, mesh: Mesh, axis: str = "kf"):
                 placed[k] = jax.device_put(a, replicated) if hasattr(a, "ndim") else a
         new_datas.append(placed)
     problem.datas = new_datas
+    problem.cfgs = new_cfgs
     problem.variables = jax.device_put(problem.variables, replicated)
     problem.masks = jax.device_put(problem.masks, replicated)
     problem.use_transpose_plans = False  # scatter+psum shards; ELL would all-gather
+    problem.use_blocked_engine = False  # factor axis shards; grids don't
     problem._jits = None
     return problem

@@ -118,7 +118,8 @@ def build_arg_parser():
     # optimizer
     p.add_argument("--max-num-iterations", type=int, default=250)
     p.add_argument("--linear-solver", default="auto",
-                   choices=["auto", "direct", "jacobi", "gauss-seidel"])
+                   choices=["auto", "direct", "jacobi", "gauss-seidel",
+                            "lower-prec", "identity"])
     p.add_argument("--pcg-max-iterations", type=int, default=40)
     p.add_argument("--num-threads", type=int, default=8)
     p.add_argument("--dont-optimize", action="store_true")
@@ -126,6 +127,10 @@ def build_arg_parser():
     # debugging / reports
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--json-report", default=None)
+    p.add_argument("--monitor-html", default=None,
+                   help="write a self-contained HTML dashboard (GUI analog)")
+    p.add_argument("--monitor-jsonl", default=None,
+                   help="stream per-iteration monitoring data as JSON lines")
     p.add_argument("--simple-stats", action="store_true")
     p.add_argument("--eval-calib-vs-factory", action="store_true")
     return p
@@ -186,18 +191,32 @@ def main(argv=None):
 
     summary = None
     if not args.dont_optimize:
-        # solver auto-switch at 20k rigs (Settings.cpp:296-320)
-        direct = args.linear_solver == "direct" or (
-            args.linear_solver == "auto" and adapter.R < NUM_RIGS_FOR_ITERATIVE
+        from ..problem.optimizer import pick_solver
+
+        settings = pick_solver(
+            LMSettings(
+                max_iterations=args.max_num_iterations,
+                pcg_max_iterations=args.pcg_max_iterations,
+                log=log if args.verbose else None,
+                pre_step_callback=adapter.make_pre_step_callback(args.recompute_preint),
+            ),
+            adapter.R,
+            args.linear_solver,
         )
-        settings = LMSettings(
-            max_iterations=args.max_num_iterations,
-            pcg_max_iterations=args.pcg_max_iterations,
-            direct_mode=direct,
-            log=log if args.verbose else None,
-            pre_step_callback=adapter.make_pre_step_callback(args.recompute_preint),
-        )
+        monitor = None
+        if args.monitor_html or args.monitor_jsonl:
+            from ..utils.monitoring import Monitor
+
+            monitor = Monitor(jsonl_path=args.monitor_jsonl)
+            settings.iteration_callback = monitor.make_callback(problem)
         summary = optimize(problem, settings)
+        if monitor is not None:
+            monitor.finish(summary)
+            if args.monitor_html:
+                from ..utils.monitoring import render_html
+
+                render_html(monitor, args.monitor_html)
+                log(f"dashboard written to {args.monitor_html}")
         log(
             f"optimize: cost {summary.initial_cost:.6g} -> {summary.final_cost:.6g} "
             f"in {summary.num_iterations} iterations"

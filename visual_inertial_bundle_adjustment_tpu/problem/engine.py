@@ -81,7 +81,10 @@ def linearize(cfgs, datas, v: VariableTables, masks: Masks, alive: tuple | None 
         valid0.append(valid)
         if fct.REGISTRY[cfg.kind]["optional"]:
             n_inv = n_inv + jnp.sum(valid < 0.5).astype(jnp.int32)
-            n_opt = n_opt + valid.shape[0]
+            if "_pad" in data:
+                n_opt = n_opt + jnp.sum(data["_pad"] < 0.5).astype(jnp.int32)
+            else:
+                n_opt = n_opt + valid.shape[0]
     return LinearizedGraph(
         lins=tuple(lins),
         w=tuple(ws),
@@ -120,7 +123,10 @@ def comparable_cost(cfgs, datas, v: VariableTables, lg: LinearizedGraph) -> Cost
             total = total + jnp.sum(contrib)
             n_inv = n_inv + jnp.sum(~now_ok).astype(jnp.int32)
             n_prev = n_prev + jnp.sum(~prev_ok).astype(jnp.int32)
-            n_tot = n_tot + valid.shape[0]
+            if "_pad" in data:
+                n_tot = n_tot + jnp.sum(data["_pad"] < 0.5).astype(jnp.int32)
+            else:
+                n_tot = n_tot + valid.shape[0]
         else:
             total = total + jnp.sum(cost_f)
     return CostStats(total, n_inv, n_prev, n_tot)
@@ -265,25 +271,43 @@ def _chol_solve(H_ll_inv, b):
     return jnp.einsum("...ij,...j->...i", H_ll_inv, b)
 
 
-def build_reduced_system(lg, v, masks: Masks, lam, precond_blocks=True):
+def build_reduced_system(lg, v, masks: Masks, lam, precond_blocks=True, precond="gauss_seidel"):
+    """`precond` picks the preconditioner family (reference Preconditioner.h):
+      - "gauss_seidel": block-Jacobi + per-observation Schur self-correction on
+        rig blocks (the corner Gauss-Seidel analog, Preconditioner.h:117-160)
+      - "jacobi": plain block-Jacobi (Preconditioner.h:53-114)
+      - "lower_prec": gauss_seidel blocks accumulated via bfloat16 (the TPU
+        analog of the fp32 LowerPrecSolvePrecond, Preconditioner.h:163-246)
+      - "identity": no preconditioning (IdentityPrecond)
+    """
     H_ll = _point_blocks(lg, v, lam)
     H_ll_inv = _inv3(H_ll)
     diag_r, _ = _hess_diag(lg, v)
 
     precond_inv = None
-    if precond_blocks:
-        precond_inv = _build_preconditioner(lg, v, masks, lam, H_ll_inv)
+    if precond_blocks and precond != "identity":
+        schur_corr = precond in ("gauss_seidel", "lower_prec")
+        low = precond == "lower_prec"
+        precond_inv = _build_preconditioner(
+            lg, v, masks, lam, H_ll_inv, schur_corr=schur_corr, low_precision=low
+        )
     return ReducedSystem(H_ll, H_ll_inv, diag_r, lam, precond_inv)
 
 
-def _build_preconditioner(lg, v, masks: Masks, lam, H_ll_inv):
+def _build_preconditioner(lg, v, masks: Masks, lam, H_ll_inv, schur_corr=True,
+                          low_precision=False):
     """Block-Jacobi blocks per variable group (damped, masked, inverted).
 
-    Rig blocks additionally subtract the per-observation Schur self-correction
-    J_rig^T w J_pt H_ll^-1 J_pt^T w J_rig (exact when each landmark is seen
-    once per rig) — the practical analog of the reference's Gauss-Seidel
-    corner preconditioner (Preconditioner.h:117-160).
+    With `schur_corr`, rig blocks additionally subtract the per-observation
+    Schur self-correction J_rig^T w J_pt H_ll^-1 J_pt^T w J_rig (exact when
+    each landmark is seen once per rig) — the practical analog of the
+    reference's Gauss-Seidel corner preconditioner (Preconditioner.h:117-160).
+    With `low_precision`, the per-factor block products are accumulated in
+    bfloat16 (halved HBM traffic; a preconditioner only needs to be
+    *approximately* H^-1, the same trade the reference's fp32
+    LowerPrecSolvePrecond makes against its f64 solve, Preconditioner.h:163).
     """
+    acc = (lambda x: x.astype(jnp.bfloat16)) if low_precision else (lambda x: x)
     dims = fct.GROUP_DIMS
     blocks = {
         g: jnp.zeros((getattr(masks, g).shape[0] if getattr(masks, g).ndim > 1 else 1, dims[g], dims[g]), v.points.dtype)
@@ -296,25 +320,25 @@ def _build_preconditioner(lg, v, masks: Masks, lam, H_ll_inv):
             if group == fct.POINTS:
                 pt_entry = (idx, J)
                 continue
-            B = jnp.einsum("dan,dbn->abn", J * w[None, None, :], J)  # (dim,dim,N)
+            B = acc(jnp.einsum("dan,dbn->abn", J * w[None, None, :], J))  # (dim,dim,N)
             if group == fct.GRAVITY:
-                blocks[group] = blocks[group].at[0].add(jnp.sum(B, axis=-1))
+                blocks[group] = blocks[group].at[0].add(jnp.sum(B, axis=-1).astype(blocks[group].dtype))
             else:
                 blocks[group] = blocks[group] + fct.scatter_rows(
                     ell, idx, B, blocks[group].shape[0]
-                )
+                ).astype(blocks[group].dtype)
         # rig Schur self-correction from landmark elimination
-        if pt_entry is not None:
+        if pt_entry is not None and schur_corr:
             pidx, Jp = pt_entry
             HinvT = jnp.transpose(H_ll_inv[pidx], (1, 2, 0))  # (3,3,N)
             for group, idx, J, ell in zip(lin.groups, lin.idx, lin.jac, lin.ell):
                 if group != fct.RIG:
                     continue
                 A = jnp.einsum("dan,dbn->abn", J * w[None, None, :], Jp)  # (12,3,N)
-                corr = jnp.einsum("abn,bcn,dcn->adn", A, HinvT, A)  # (12,12,N)
+                corr = acc(jnp.einsum("abn,bcn,dcn->adn", A, HinvT, A))  # (12,12,N)
                 blocks[group] = blocks[group] - fct.scatter_rows(
                     ell, idx, corr, blocks[group].shape[0]
-                )
+                ).astype(blocks[group].dtype)
 
     inv = {}
     for g, B in blocks.items():
@@ -343,6 +367,8 @@ def _build_preconditioner(lg, v, masks: Masks, lam, H_ll_inv):
 
 def _apply_precond(rs: ReducedSystem, r: Tangent) -> Tangent:
     p = rs.precond_inv
+    if p is None:  # IdentityPrecond (Preconditioner.h:44-50)
+        return r
     return Tangent(
         rig=jnp.einsum("nij,nj->ni", p.rig, r.rig),
         cam_intr=jnp.einsum("nij,nj->ni", p.cam_intr, r.cam_intr),
@@ -466,12 +492,13 @@ def pcg_solve(lg, v, rs: ReducedSystem, b: Tangent, max_iters: int, rel_tol):
     return x, rel, iters
 
 
-def solve_step(cfgs, datas, lg, v, masks, lam, max_iters=250, rel_tol=1e-10):
+def solve_step(cfgs, datas, lg, v, masks, lam, max_iters=250, rel_tol=1e-10,
+               precond="gauss_seidel"):
     """Full damped GN solve: returns (step_tangent, step_points, model_cost_
     reduction, pcg_rel, pcg_iters). Step is H^-1 grad (NOT yet negated),
     matching the reference convention (Optimizer.cpp:829-834)."""
     g_r, g_l = _accumulate_grad(lg, v)
-    rs = build_reduced_system(lg, v, masks, lam)
+    rs = build_reduced_system(lg, v, masks, lam, precond=precond)
     b = reduce_rhs(lg, v, rs, g_r, g_l)
     x_r, rel, iters = pcg_solve(lg, v, rs, b, max_iters, rel_tol)
     x_l = back_substitute(lg, v, rs, x_r, g_l)

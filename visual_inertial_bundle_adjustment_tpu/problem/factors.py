@@ -72,6 +72,9 @@ class BatchCfg:
     # entirely (e.g. fixed intrinsics drop 17 of the visual factor's 40
     # tangent dims).
     active_groups: tuple | None = None
+    # rcs.BlockInfo when the batch is laid out in rig/point block grids for
+    # the blocked MXU engine (rcs.finalize_blocks); None = generic layout
+    block_info: object = None
 
 
 class Lin(NamedTuple):
@@ -723,7 +726,10 @@ def residual_batch(cfg: BatchCfg, data, v: VariableTables):
         return res, valid
 
     res, valid = jax.vmap(row)(zeros, args)
-    return res, valid.astype(dtype)
+    valid = valid.astype(dtype)
+    if "_pad" in data:  # padded grid rows never count as failing
+        valid = jnp.maximum(valid, data["_pad"].astype(dtype))
+    return res, valid
 
 
 def linearize_batch(cfg: BatchCfg, data, v: VariableTables, masks: Masks) -> Lin:
@@ -755,6 +761,9 @@ def linearize_batch(cfg: BatchCfg, data, v: VariableTables, masks: Masks) -> Lin
 
     jacs_active, res, valid = jax.vmap(row)(args)
     res = res.T  # (d, N)
+    valid = valid.astype(dtype)
+    if "_pad" in data:  # padded grid rows never count as failing
+        valid = jnp.maximum(valid, data["_pad"].astype(dtype))
 
     idx = []
     masked_jacs = []
@@ -777,5 +786,5 @@ def linearize_batch(cfg: BatchCfg, data, v: VariableTables, masks: Masks) -> Lin
         idx.append(ix)
         groups_out.append(group)
         ells.append(data.get(f"_ell{i}"))
-    return Lin(res=res, valid=valid.astype(dtype), groups=tuple(groups_out),
+    return Lin(res=res, valid=valid, groups=tuple(groups_out),
                idx=tuple(idx), jac=tuple(masked_jacs), ell=tuple(ells))

@@ -44,6 +44,9 @@ class LMSettings:
     pcg_tol: float = 1e-10
     direct_mode: bool = True  # small problems: PCG to tight tolerance
     direct_pcg_iterations: int = 500
+    # preconditioner family: gauss_seidel | jacobi | lower_prec | identity
+    # (reference Preconditioner.h; solver auto-pick in pick_solver below)
+    preconditioner: str = "gauss_seidel"
 
     absolute_cost_tolerance: float = 1e-8
     relative_cost_tolerance: float = 1e-10
@@ -66,6 +69,10 @@ class LMSettings:
 
     log: Optional[Callable[[str], None]] = None
     pre_step_callback: Optional[Callable[[int, "Problem"], None]] = None
+    # called at the end of every iteration with a monitoring dict (the GUI
+    # publication point, main_AriaKit_ViBa_GUI.cpp:104-130); see
+    # utils/monitoring.Monitor.make_callback
+    iteration_callback: Optional[Callable[[dict], None]] = None
 
 
 @dataclasses.dataclass
@@ -117,6 +124,15 @@ class Problem:
         import numpy as _np
 
         from . import factors as _fct
+        from . import rcs as _rcs
+
+        # blocked MXU layout for large visual batches (rcs.finalize_blocks);
+        # skipped under mesh sharding (the factor axis shards instead)
+        if (getattr(self, "use_blocked_engine", True)
+                and getattr(self, "use_transpose_plans", True)
+                and not getattr(self, "_blocked_done", False)):
+            self._blocked_done = True
+            _rcs.finalize_blocks(self)
 
         # statically drop tangents of fully-constant groups (masks all zero)
         group_active = {
@@ -154,13 +170,30 @@ class Problem:
         def k_linearize(datas, v, masks, alive):
             return engine.linearize(cfgs, datas, v, masks, alive)
 
-        @partial(jax.jit, static_argnames=("max_iters",))
-        def k_solve(datas, lg, v, masks, lam, max_iters, rel_tol):
-            return engine.solve_step(cfgs, datas, lg, v, masks, lam, max_iters, rel_tol)
+        blocked = any(getattr(c, "block_info", None) for c in cfgs)
+        resolve_impl = _rcs.solve_with_system if blocked else engine.solve_with_system
+
+        # assembly (lambda-independent) split from the per-lambda solve so
+        # damping retries reuse it (reference keeps the grad/Hess fixed and
+        # refactors with new damping, Optimizer.cpp:826-854)
+        @jax.jit
+        def k_assemble(datas, lg, v, masks):
+            if blocked:
+                return _rcs.assemble(cfgs, datas, lg, v, masks)
+            return jnp.zeros(())  # generic path assembles inside k_solve
+
+        @partial(jax.jit, static_argnames=("max_iters", "precond"))
+        def k_solve(asm, datas, lg, v, masks, lam, max_iters, rel_tol,
+                    precond="gauss_seidel"):
+            if blocked:
+                return _rcs.solve_assembled(asm, v, masks, lam, max_iters,
+                                            rel_tol, precond)
+            return engine.solve_step(cfgs, datas, lg, v, masks, lam, max_iters,
+                                     rel_tol, precond=precond)
 
         @partial(jax.jit, static_argnames=("max_iters",))
         def k_resolve(lg, v, rs, g_r, g_l, max_iters, rel_tol):
-            return engine.solve_with_system(lg, v, rs, g_r, g_l, max_iters, rel_tol)
+            return resolve_impl(lg, v, rs, g_r, g_l, max_iters, rel_tol)
 
         @jax.jit
         def k_cost(datas, v, lg):
@@ -177,7 +210,8 @@ class Problem:
             ratios = step_to_var_ratios(v, t2, tp * scale)
             return v2, ratios
 
-        self._jits = (k_linearize, k_solve, k_resolve, k_cost, k_grad, k_retract)
+        self._jits = (k_linearize, k_solve, k_resolve, k_cost, k_grad, k_retract,
+                      k_assemble)
         return self._jits
 
     def initial_alive(self):
@@ -189,7 +223,8 @@ class Problem:
 
 
 def optimize(problem: Problem, settings: LMSettings) -> Summary:
-    k_lin, k_solve, k_resolve, k_cost, k_grad, k_retract = problem._build()
+    (k_lin, k_solve, k_resolve, k_cost, k_grad, k_retract,
+     k_assemble) = problem._build()
     log = settings.log or (lambda s: None)
     datas = tuple(problem.datas)
     masks = problem.masks
@@ -218,6 +253,7 @@ def optimize(problem: Problem, settings: LMSettings) -> Summary:
             datas = tuple(problem.datas)
 
         lg = k_lin(datas, v, masks, alive if dont_retry_failed else None)
+        asm = k_assemble(datas, lg, v, masks)
         prev_cost = float(lg.cost)
         if initial_cost is None:
             initial_cost = prev_cost
@@ -229,7 +265,8 @@ def optimize(problem: Problem, settings: LMSettings) -> Summary:
         # solve, with model-cost sanity retry (Optimizer.cpp:835-854)
         while True:
             x_r, x_l, model_red, pcg_rel, pcg_it, rs, (g_r, g_l) = k_solve(
-                datas, lg, v, masks, jnp.asarray(damping), pcg_iters, settings.pcg_tol
+                asm, datas, lg, v, masks, jnp.asarray(damping), pcg_iters,
+                settings.pcg_tol, settings.preconditioner,
             )
             model_red = float(model_red)
             if model_red >= 0:
@@ -360,6 +397,24 @@ def optimize(problem: Problem, settings: LMSettings) -> Summary:
         iteration += 1
         dt = time.time() - t_it
         summary.iteration_times.append(dt)
+        if settings.iteration_callback is not None:
+            settings.iteration_callback(dict(
+                iteration=iteration,
+                cost=new_cost if new_cost <= prev_cost else prev_cost,
+                prev_cost=prev_cost,
+                damping=damping,
+                accepted=new_cost <= prev_cost and failure_ok,
+                model_cost_reduction=model_red,
+                applied_step_factor=applied_step_factor,
+                pcg_iters=int(pcg_it),
+                pcg_rel_residual=float(pcg_rel),
+                grad_norm=grad_norm,
+                step_norm=step_norm,
+                num_failing=int(stats.num_invalid),
+                num_failing_prev=int(stats.num_prev_invalid),
+                num_optional_total=int(stats.num_total),
+                iter_time_sec=dt,
+            ))
         log(
             f" {smiley} cost: {prev_cost:.6g} -> {new_cost:.6g} "
             f"({(new_cost / prev_cost - 1.0) * 100:.2f}%), t: {dt:.3f}s\n"
@@ -392,3 +447,23 @@ def optimize(problem: Problem, settings: LMSettings) -> Summary:
     summary.final_cost = final_cost if final_cost is not None else (initial_cost or 0.0)
     summary.num_iterations = iteration
     return summary
+
+
+# reference viba/common/Settings.cpp:296-320 + Constants.h:15: the direct
+# solver is used below 20000 rigs, Gauss-Seidel-preconditioned PCG above
+PCG_NUM_RIGS_THRESHOLD = 20_000
+
+
+def pick_solver(settings: LMSettings, num_rigs: int, solver_type: str = "auto") -> LMSettings:
+    """Resolve the CLI solver choice (auto/direct/gauss-seidel/jacobi/identity/
+    lower-prec) into LMSettings, mirroring pickSolverType."""
+    st = solver_type.replace("-", "_")
+    if st == "auto":
+        st = "direct" if num_rigs < PCG_NUM_RIGS_THRESHOLD else "gauss_seidel"
+    if st == "direct":
+        settings.direct_mode = True
+        settings.preconditioner = "gauss_seidel"
+    else:
+        settings.direct_mode = False
+        settings.preconditioner = st
+    return settings

@@ -1,0 +1,641 @@
+"""Blocked reduced-camera-system solver: MXU one-hot gather/scatter engine.
+
+TPU gathers and scatters run at ~1-2 GElem/s (row-latency-bound) while the
+MXU streams matmuls at tens of TFLOP/s — so the factor-side Schur PCG of
+engine.py, whose matvec re-gathers/scatters 769k-observation index sets 40x
+per solve, is gather-bound (~41 ms/matvec measured on v5e for a 2-minute
+session). This module removes every large gather/scatter from the solve:
+
+  * visual-family batches are REORDERED AT BUILD TIME: sorted by rig and
+    padded into a (num_rig_blocks x obs_per_block) grid (and, through a
+    static permutation, into a second point-sorted grid). Padded rows carry
+    zero whitening so they contribute exactly nothing.
+  * every factor->rig / factor->landmark reduction becomes a BLOCK-DIAGONAL
+    ONE-HOT MATMUL: within a 128-row block, gather = onehot @ table and
+    scatter-add = onehot^T @ contributions, both on the MXU (measured 2 ms
+    for the full rig matvec vs 41 ms with XLA scatters). f32 one-hot keeps
+    selection exact (1.0 * x); the per-matvec cross-structure cost is two
+    (N,)-row permutes of the 2-vector residual payload between the rig- and
+    point-sorted grids.
+  * small batches (inertial chains, priors, random walks — O(R) factors)
+    keep the generic engine paths: their gathers are tiny.
+
+This replaces the reference's assembled block-CSR + BaSpaCho supernodal
+solve / PCG (lib/small_thing/Optimizer.cpp:166-331): the symbolic analysis
+(reordering, block grids, permutations) happens once on the host like
+BaSpaCho's symbolic factorization; the numeric phase is pure MXU work.
+Semantics (damping formula, Schur elimination, block-Jacobi + Gauss-Seidel
+Schur-corrected preconditioner, PCG) are identical to engine.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import engine
+from . import factors as fct
+from .structure import Masks, Tangent, VariableTables, t_axpy, t_dot, zero_tangent
+
+VISUAL_KINDS = ("visual", "rs_visual")
+
+
+# ---------------------------------------------------------------------------
+# Host-side symbolic phase: sort, pad, build block grids + permutations
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockInfo:
+    """Static ragged-tile geometry for one visual batch (hashable, in cfg).
+
+    Observations sorted by rig are chopped into fixed-size tiles of `ts`
+    rows; a tile is cut early whenever its rig span would exceed `rb`, so
+    every tile addresses rows [base, base+rb) of the rig table (block-CSR
+    with a fixed tile height — skew costs at most one partial tile per cut,
+    unlike a uniform grid which pads every block to the max-degree block).
+    Same scheme for the point-sorted grid (pts/pnt/prb)."""
+
+    rb: int  # rig rows addressable per tile
+    nt: int  # number of rig tiles
+    ts: int  # observations per tile
+    prb: int  # point rows addressable per tile
+    pnt: int  # number of point tiles
+    pts: int  # observations per point tile
+
+
+def _tile_plan(key_sorted, rb, ts):
+    """Ragged tiling of a SORTED key array: returns (slot (n,), base (nt,)).
+    slot[i] is the padded position of sorted row i; tiles cut at `ts` rows or
+    when key - base would reach rb (a few hundred searchsorted steps)."""
+    n = len(key_sorted)
+    starts, bases = [], []
+    i = 0
+    while i < n:
+        base = int(key_sorted[i])
+        end = min(i + ts, int(np.searchsorted(key_sorted, base + rb, side="left")))
+        starts.append(i)
+        bases.append(base)
+        i = end
+    nt = len(starts)
+    starts_a = np.asarray(starts + [n], np.int64)
+    slot = np.arange(n, dtype=np.int64)
+    tile_of = np.searchsorted(starts_a, slot, side="right") - 1
+    slot = slot - starts_a[tile_of] + tile_of * ts
+    return slot, np.asarray(bases, np.int64), nt
+
+
+def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096):
+    """Reorder visual-family batches by rig, lay them out in ragged tiles,
+    and attach the point-grid permutation. Mutates problem.{cfgs,datas}
+    (host, one-time — the TPU analog of BaSpaCho's symbolic analysis)."""
+    R = int(problem.variables.pose_q.shape[0])
+    L = int(problem.variables.points.shape[0])
+    for bi, (cfg, data) in enumerate(zip(problem.cfgs, problem.datas)):
+        if cfg.kind not in VISUAL_KINDS or getattr(cfg, "block_info", None):
+            continue
+        rig = np.asarray(data["rig"])
+        pt = np.asarray(data["point"])
+        if len(rig) < 4 * ts:
+            continue  # tiny batch: generic path is fine
+        order = np.argsort(rig, kind="stable")
+        slot, base, nt = _tile_plan(rig[order], rb, ts)
+        npad = nt * ts
+        new = {}
+        for k, a in data.items():
+            if k.startswith("_ell"):
+                continue  # rebuilt later from the new order
+            a = np.asarray(a)
+            out = np.zeros((npad,) + a.shape[1:], a.dtype)
+            out[slot] = a[order]
+            new[k] = out
+        pad = np.ones(npad, np.float32)
+        pad[slot] = 0.0
+        tile_base = np.repeat(base, ts)
+        new["rig"] = np.where(pad > 0.5, tile_base, new["rig"]).astype(np.int32)
+        new["_pad"] = pad  # 1.0 on padded rows
+        new["_rb_local"] = (new["rig"].astype(np.int64) - tile_base).astype(np.int32)
+        new["_rb_rows"] = (base[:, None] + np.arange(rb)[None, :]).astype(
+            np.int32).reshape(-1)
+
+        # point grid: a permutation from the rig grid into a point-sorted grid
+        pt_full = np.zeros(npad, np.int64)
+        pt_full[slot] = pt[order]
+        real = np.nonzero(pad < 0.5)[0]
+        porder = np.argsort(pt_full[real], kind="stable")
+        real_idx = real[porder]
+        pkey = pt_full[real_idx]
+        pslot, pbase, pnt = _tile_plan(pkey, prb, ts)
+        pnpad = pnt * ts
+        perm = np.zeros(pnpad, np.int64)  # point-grid slot -> rig-grid index
+        perm[pslot] = real_idx
+        pw = np.zeros(pnpad, np.float32)
+        pw[pslot] = 1.0
+        pt_local = np.zeros(pnpad, np.int32)
+        pt_local[pslot] = (pkey - pbase[pslot // ts]).astype(np.int32)
+        inv = np.zeros(npad, np.int64)  # rig-grid index -> point-grid slot
+        inv[real_idx] = pslot
+        new["_pt_perm"] = perm.astype(np.int32)
+        new["_pt_w"] = pw
+        new["_pt_local"] = pt_local
+        new["_pt_inv"] = inv.astype(np.int32)
+        new["_pt_rows"] = (pbase[:, None] + np.arange(prb)[None, :]).astype(
+            np.int32).reshape(-1)
+        problem.datas[bi] = {k: jnp.asarray(v) for k, v in new.items()}
+        problem.cfgs[bi] = dataclasses.replace(
+            cfg, block_info=BlockInfo(rb, nt, ts, prb, pnt, ts)
+        )
+    problem._jits = None
+    return problem
+
+
+# ---------------------------------------------------------------------------
+# Ragged-tile one-hot primitives (device)
+# ---------------------------------------------------------------------------
+
+
+def _onehot(local, nt, ts, rb, dtype=jnp.float32):
+    """(nt, rb, ts) tile-local one-hot; exact selection in f32."""
+    loc = local.reshape(nt, ts)
+    return (jnp.arange(rb, dtype=loc.dtype)[None, :, None] == loc[:, None, :]).astype(dtype)
+
+
+def reduce_rows(contrib, local, rows, nt, ts, rb, n_rows):
+    """Segment-sum `contrib` (D, Npad) into (n_rows, D): per-tile one-hot
+    matmul, then a tiny (nt*rb)-row scatter of the partials."""
+    D = contrib.shape[0]
+    oh = _onehot(local, nt, ts, rb, contrib.dtype)
+    c = contrib.reshape(D, nt, ts)
+    part = jnp.einsum("tro,dto->trd", oh, c,
+                      preferred_element_type=jnp.float32).astype(contrib.dtype)
+    out = jnp.zeros((n_rows + rb, D), contrib.dtype)
+    out = out.at[rows].add(part.reshape(nt * rb, D))
+    return out[:n_rows]
+
+
+def gather_rows(table, local, rows, nt, ts, rb):
+    """table (n_rows, D) -> per-observation rows (Npad, D): tiny (nt*rb)-row
+    gather of the addressed slices, then per-tile one-hot matmul."""
+    n_rows, D = table.shape
+    text = jnp.concatenate([table, jnp.zeros((rb, D), table.dtype)], axis=0)
+    xt = text[rows].reshape(nt, rb, D)
+    oh = _onehot(local, nt, ts, rb, table.dtype)
+    out = jnp.einsum("tro,trd->tod", oh, xt, preferred_element_type=jnp.float32)
+    return out.reshape(nt * ts, D).astype(table.dtype)
+
+
+def permute_cols(a, idx):
+    """a[..., idx] for a (..., N): TPU gathers along the minor (lane) axis
+    run at scalar rates — relayout to rows, gather, relayout back instead."""
+    moved = jnp.moveaxis(a, -1, 0)
+    return jnp.moveaxis(jnp.take(moved, idx, axis=0), 0, -1)
+
+
+class VisBatch(NamedTuple):
+    """Per-visual-batch solver state for one linearization."""
+
+    info: object  # BlockInfo (static)
+    w: jnp.ndarray  # (N,) robust weight * valid * (1 - pad)
+    rb_local: jnp.ndarray  # (N,)
+    rb_rows: jnp.ndarray  # (nt*rb,) addressed rig rows per tile
+    pt_rows: jnp.ndarray  # (pnt*prb,) addressed point rows per tile
+    groups: tuple  # static: non-point group names in lin order
+    idx: tuple  # per non-point group (N,) index arrays
+    jac: tuple  # per non-point group (d, dim, N)
+    ells: tuple
+    J_pt: jnp.ndarray  # (d, 3, N) rig order
+    J_pt_po: jnp.ndarray  # (d, 3, Np) point order
+    w_po: jnp.ndarray  # (Np,)
+    pt_local: jnp.ndarray  # (Np,)
+    pt_perm: jnp.ndarray  # (Np,) rig-grid index per point slot
+    pt_inv: jnp.ndarray  # (N,) point slot per rig-grid index
+    pt_idx: jnp.ndarray  # (N,) global point id (rig order)
+
+
+jax.tree_util.register_pytree_node(
+    VisBatch,
+    lambda b: ((b.w, b.rb_local, b.rb_rows, b.pt_rows, b.idx, b.jac, b.ells,
+                b.J_pt, b.J_pt_po, b.w_po, b.pt_local, b.pt_perm, b.pt_inv,
+                b.pt_idx), (b.info, b.groups)),
+    lambda aux, ch: VisBatch(
+        info=aux[0], w=ch[0], rb_local=ch[1], rb_rows=ch[2], pt_rows=ch[3],
+        groups=aux[1], idx=ch[4], jac=ch[5], ells=ch[6], J_pt=ch[7],
+        J_pt_po=ch[8], w_po=ch[9], pt_local=ch[10], pt_perm=ch[11],
+        pt_inv=ch[12], pt_idx=ch[13],
+    ),
+)
+
+
+def _split(cfgs, lg):
+    """(visual (cfg, lin, w) triples, rest LinearizedGraph)."""
+    vis, rest_lins, rest_w = [], [], []
+    for cfg, lin, w in zip(cfgs, lg.lins, lg.w):
+        if getattr(cfg, "block_info", None):
+            vis.append((cfg, lin, w))
+        else:
+            rest_lins.append(lin)
+            rest_w.append(w)
+    rest = engine.LinearizedGraph(
+        lins=tuple(rest_lins), w=tuple(rest_w), cost=lg.cost,
+        stored_cost=(), valid0=(), num_invalid=lg.num_invalid,
+        num_optional=lg.num_optional,
+    )
+    return vis, rest
+
+
+def _vis_batches(cfgs, datas, lg):
+    """[(VisBatch, Lin)] for every blocked visual batch."""
+    out = []
+    for (cfg, lin, w), data in zip(zip(cfgs, lg.lins, lg.w), datas):
+        if not getattr(cfg, "block_info", None):
+            continue
+        info = cfg.block_info
+        wv = w * (1.0 - data["_pad"])
+        groups, idx, jac, ells = [], [], [], []
+        J_pt = None
+        pt_idx = None
+        for g, ix, J, ell in zip(lin.groups, lin.idx, lin.jac, lin.ell):
+            if g == fct.POINTS:
+                J_pt = J
+                pt_idx = ix
+            else:
+                groups.append(g)
+                idx.append(ix)
+                jac.append(J)
+                ells.append(ell)
+        perm = data["_pt_perm"]
+        J_pt_po = permute_cols(J_pt, perm) * data["_pt_w"][None, None, :]
+        out.append((VisBatch(
+            info=info, w=wv, rb_local=data["_rb_local"], rb_rows=data["_rb_rows"],
+            pt_rows=data["_pt_rows"], groups=tuple(groups),
+            idx=tuple(idx), jac=tuple(jac), ells=tuple(ells), J_pt=J_pt,
+            J_pt_po=J_pt_po, w_po=wv[perm] * data["_pt_w"],
+            pt_local=data["_pt_local"], pt_perm=perm, pt_inv=data["_pt_inv"],
+            pt_idx=pt_idx,
+        ), lin))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Assembly (once per linearization)
+# ---------------------------------------------------------------------------
+
+
+class RcsAsm(NamedTuple):
+    """Lambda-INDEPENDENT assembly for one linearization: damping retries
+    (Optimizer.cpp:826-854) reuse this and pay only the per-lambda work
+    (landmark damping/inverses, Schur-corrected preconditioner blocks)."""
+
+    vis: tuple  # tuple[VisBatch]
+    rest: object  # LinearizedGraph of small batches
+    H_ll0: jnp.ndarray  # (L, 3, 3) UNdamped landmark blocks
+    diag_r: Tangent  # undamped reduced diagonal entries
+    g_r: Tangent  # gradient (reduced)
+    g_l: jnp.ndarray  # gradient (landmarks)
+    A_rp: tuple  # per vis batch: (12, 3, N) Jw_rig x J_pt (for the precond corr)
+    blocks0: dict  # per-group UNdamped block-Jacobi blocks (Schur corr not yet applied)
+
+
+class RcsSystem(NamedTuple):
+    vis: tuple  # tuple[VisBatch]
+    rest: object  # LinearizedGraph of small batches
+    H_ll: jnp.ndarray  # (L, 3, 3) damped
+    H_ll_inv: jnp.ndarray
+    diag_r: Tangent  # undamped reduced diagonal
+    lam: jnp.ndarray
+    precond_inv: Tangent
+
+
+def _point_blocks_blocked(vis, rest, v, lam):
+    """Damped landmark blocks H_ll (L,3,3): visual batches via the point grid
+    (permute (6,N) + block one-hot), small batches via scatter."""
+    L = v.points.shape[0]
+    H = jnp.zeros((L, 9), v.points.dtype)
+    for b in vis:
+        A = jnp.einsum("dan,dbn->abn", b.J_pt_po * b.w_po[None, None, :], b.J_pt_po)
+        H = H + reduce_rows(A.reshape(9, -1), b.pt_local, b.pt_rows,
+                            b.info.pnt, b.info.pts, b.info.prb, L)
+    H = H.reshape(L, 3, 3)
+    for lin, w in zip(rest.lins, rest.w):
+        for group, idx, J, ell in zip(lin.groups, lin.idx, lin.jac, lin.ell):
+            if group != fct.POINTS:
+                continue
+            contrib = jnp.einsum("dan,dbn->abn", J * w[None, None, :], J)
+            H = H + fct.scatter_rows(ell, idx, contrib, L)
+    if lam is None:
+        return H
+    diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+    eye = jnp.eye(3, dtype=H.dtype)
+    return H + eye * (lam * diag + lam)[..., None, :] * eye
+
+
+def _grad(vis, rest, v):
+    """(Tangent, points) gradient J^T w res; rig/point sides blocked."""
+    g = zero_tangent(v)._asdict()
+    gp = jnp.zeros_like(v.points)
+    # rest batches via the generic engine path
+    g_rest, gp_rest = engine._accumulate_grad(
+        engine.LinearizedGraph(rest.lins, rest.w, 0.0, (), (), 0, 0), v
+    )
+    g = {k: g[k] + getattr(g_rest, k) for k in g}
+    gp = gp + gp_rest
+    for b, lin in vis:
+        wres = lin.res * b.w[None, :]  # (d, N)
+        for group, idx, J, ell in zip(b.groups, b.idx, b.jac, b.ells):
+            contrib = jnp.einsum("dkn,dn->kn", J, wres)
+            if group == fct.RIG:
+                g[group] = g[group] + reduce_rows(
+                    contrib, b.rb_local, b.rb_rows, b.info.nt, b.info.ts,
+                    b.info.rb, g[group].shape[0])
+            elif group == fct.GRAVITY:
+                g[group] = g[group] + jnp.sum(contrib, axis=-1)
+            else:
+                g[group] = g[group] + fct.scatter_rows(ell, idx, contrib,
+                                                       g[group].shape[0])
+        # weight applied once (in wres); pads vanish through J_pt_po's mask
+        cp = jnp.einsum("dkn,dn->kn", b.J_pt_po, permute_cols(wres, b.pt_perm))
+        gp = gp + reduce_rows(cp, b.pt_local, b.pt_rows, b.info.pnt,
+                              b.info.pts, b.info.prb, gp.shape[0])
+    return Tangent(**g), gp
+
+
+def _diag(vis, rest, v):
+    d = zero_tangent(v)._asdict()
+    d_rest, _ = engine._hess_diag(
+        engine.LinearizedGraph(rest.lins, rest.w, 0.0, (), (), 0, 0), v
+    )
+    d = {k: d[k] + getattr(d_rest, k) for k in d}
+    for b in vis:
+        for group, idx, J, ell in zip(b.groups, b.idx, b.jac, b.ells):
+            contrib = jnp.einsum("dkn,dkn->kn", J, J * b.w[None, None, :])
+            if group == fct.RIG:
+                d[group] = d[group] + reduce_rows(
+                    contrib, b.rb_local, b.rb_rows, b.info.nt, b.info.ts,
+                    b.info.rb, d[group].shape[0])
+            elif group == fct.GRAVITY:
+                d[group] = d[group] + jnp.sum(contrib, axis=-1)
+            else:
+                d[group] = d[group] + fct.scatter_rows(ell, idx, contrib,
+                                                       d[group].shape[0])
+    return Tangent(**d)
+
+
+def _precond_blocks_static(vis, rest, v, masks):
+    """Lambda-free block-Jacobi blocks per group + the A products needed for
+    the per-lambda Schur correction (engine._build_preconditioner semantics;
+    visual rig blocks via bf16 blocked reductions — a preconditioner only
+    needs approximate blocks, the trade the reference's LowerPrecSolvePrecond
+    makes, Preconditioner.h:163)."""
+    dims = fct.GROUP_DIMS
+    groups = [fct.RIG, fct.CAM_INTR, fct.CAM_EXTR, fct.IMU_CALIB, fct.IMU_EXTR,
+              fct.DET_BIAS, fct.GRAVITY]
+    blocks = {
+        g: jnp.zeros(((getattr(masks, g).shape[0] if getattr(masks, g).ndim > 1 else 1),
+                      dims[g], dims[g]), v.points.dtype)
+        for g in groups
+    }
+    for lin, w in zip(rest.lins, rest.w):
+        for group, idx, J, ell in zip(lin.groups, lin.idx, lin.jac, lin.ell):
+            if group == fct.POINTS:
+                continue
+            B = jnp.einsum("dan,dbn->abn", J * w[None, None, :], J)
+            if group == fct.GRAVITY:
+                blocks[group] = blocks[group].at[0].add(jnp.sum(B, axis=-1))
+            else:
+                blocks[group] = blocks[group] + fct.scatter_rows(
+                    ell, idx, B, blocks[group].shape[0])
+    A_rp = []
+    for b in vis:
+        A_b = None
+        for group, idx, J, ell in zip(b.groups, b.idx, b.jac, b.ells):
+            Jw = J * b.w[None, None, :]
+            B = jnp.einsum("dan,dbn->abn", Jw, J)
+            if group == fct.RIG:
+                A_b = jnp.einsum("dan,dbn->abn", Jw, b.J_pt)  # (12, 3, N)
+                k = B.shape[0]
+                red = reduce_rows(
+                    B.reshape(k * k, -1).astype(jnp.bfloat16),
+                    b.rb_local, b.rb_rows, b.info.nt, b.info.ts, b.info.rb,
+                    blocks[group].shape[0])
+                blocks[group] = blocks[group] + red.reshape(-1, k, k).astype(
+                    blocks[group].dtype)
+            elif group == fct.GRAVITY:
+                blocks[group] = blocks[group].at[0].add(jnp.sum(B, axis=-1))
+            else:
+                blocks[group] = blocks[group] + fct.scatter_rows(
+                    ell, idx, B, blocks[group].shape[0])
+        A_rp.append(A_b)
+    return blocks, tuple(A_rp)
+
+
+def _precond_finish(asm: "RcsAsm", v, masks, lam, H_ll_inv):
+    """Per-lambda: subtract the Schur self-correction from the rig blocks,
+    damp, mask, invert."""
+    blocks = dict(asm.blocks0)
+    for b, A in zip(asm.vis, asm.A_rp):
+        if A is None:
+            continue
+        HinvN = H_ll_inv[b.pt_idx]  # (N, 3, 3)
+        corr = jnp.einsum("abn,nbc,dcn->adn", A, HinvN, A)
+        k = corr.shape[0]
+        red = reduce_rows(
+            corr.reshape(k * k, -1).astype(jnp.bfloat16),
+            b.rb_local, b.rb_rows, b.info.nt, b.info.ts, b.info.rb,
+            blocks[fct.RIG].shape[0])
+        blocks[fct.RIG] = blocks[fct.RIG] - red.reshape(-1, k, k).astype(
+            blocks[fct.RIG].dtype)
+    inv = {}
+    for g, B in blocks.items():
+        dim = B.shape[-1]
+        eye = jnp.eye(dim, dtype=B.dtype)
+        diag = jnp.diagonal(B, axis1=-2, axis2=-1)
+        B = B + eye * (lam * jnp.maximum(diag, 0.0) + lam)[..., None, :] * eye
+        m = getattr(masks, g)
+        if m.ndim == 1:
+            m = m[None, :]
+        B = B * m[:, :, None] * m[:, None, :] + eye * (1.0 - m)[..., None, :] * eye
+        tr = jnp.trace(B, axis1=-2, axis2=-1)[..., None, None]
+        B = B + eye * tr * 1e-12
+        inv[g] = jnp.linalg.inv(B)
+    return Tangent(
+        rig=inv[fct.RIG], cam_intr=inv[fct.CAM_INTR], cam_extr=inv[fct.CAM_EXTR],
+        imu_calib=inv[fct.IMU_CALIB], imu_extr=inv[fct.IMU_EXTR],
+        det_bias=inv[fct.DET_BIAS], gravity=inv[fct.GRAVITY][0],
+    )
+
+
+def assemble(cfgs, datas, lg, v, masks: Masks) -> RcsAsm:
+    """Everything lambda-independent for this linearization."""
+    pairs = _vis_batches(cfgs, datas, lg)
+    vis = tuple(b for b, _ in pairs)
+    _, rest = _split(cfgs, lg)
+    H_ll0 = _point_blocks_blocked(vis, rest, v, None)
+    diag_r = _diag(vis, rest, v)
+    g_r, g_l = _grad(pairs, rest, v)
+    blocks0, A_rp = _precond_blocks_static(vis, rest, v, masks)
+    return RcsAsm(vis, rest, H_ll0, diag_r, g_r, g_l, A_rp, blocks0)
+
+
+def with_damping(asm: RcsAsm, v, masks, lam) -> RcsSystem:
+    """Per-lambda completion: damped landmark inverses + preconditioner."""
+    lam = jnp.asarray(lam, v.points.dtype)
+    diag = jnp.diagonal(asm.H_ll0, axis1=-2, axis2=-1)
+    eye = jnp.eye(3, dtype=asm.H_ll0.dtype)
+    H_ll = asm.H_ll0 + eye * (lam * diag + lam)[..., None, :] * eye
+    H_ll_inv = engine._inv3(H_ll)
+    precond_inv = _precond_finish(asm, v, masks, lam, H_ll_inv)
+    return RcsSystem(asm.vis, asm.rest, H_ll, H_ll_inv, asm.diag_r, lam,
+                     precond_inv)
+
+
+# ---------------------------------------------------------------------------
+# Matvec / PCG (per lambda)
+# ---------------------------------------------------------------------------
+
+
+def _vis_u(b: VisBatch, x: Tangent):
+    """u = sum_g J_g x_g over non-point groups (d, N), rig order."""
+    u = None
+    for group, idx, J in zip(b.groups, b.idx, b.jac):
+        if group == fct.RIG:
+            xg = gather_rows(getattr(x, group), b.rb_local, b.rb_rows,
+                             b.info.nt, b.info.ts, b.info.rb)
+        elif group == fct.GRAVITY:
+            xg = jnp.broadcast_to(x.gravity[None, :], (J.shape[-1], 2))
+        else:
+            xg = getattr(x, group)[idx]
+        term = jnp.einsum("dkn,nk->dn", J, xg)
+        u = term if u is None else u + term
+    return u
+
+
+def _vis_scatter(b: VisBatch, y: dict, wu):
+    """y_g += J_g^T wu for non-point groups."""
+    for group, idx, J, ell in zip(b.groups, b.idx, b.jac, b.ells):
+        contrib = jnp.einsum("dkn,dn->kn", J, wu)
+        if group == fct.RIG:
+            y[group] = y[group] + reduce_rows(
+                contrib, b.rb_local, b.rb_rows, b.info.nt, b.info.ts,
+                b.info.rb, y[group].shape[0])
+        elif group == fct.GRAVITY:
+            y[group] = y[group] + jnp.sum(contrib, axis=-1)
+        else:
+            y[group] = y[group] + fct.scatter_rows(ell, idx, contrib, y[group].shape[0])
+    return y
+
+
+def w_transpose_x(rs: RcsSystem, v, x: Tangent):
+    """W^T x (L, 3): per batch, u in rig order -> permute (d,N) -> point grid."""
+    t = jnp.zeros_like(v.points)
+    for b in rs.vis:
+        u = _vis_u(b, x) * b.w[None, :]
+        u_po = permute_cols(u, b.pt_perm)  # (d, Np); pads masked inside J_pt_po
+        contrib = jnp.einsum("dkn,dn->kn", b.J_pt_po, u_po)
+        t = t + reduce_rows(contrib, b.pt_local, b.pt_rows, b.info.pnt,
+                            b.info.pts, b.info.prb, t.shape[0])
+    return t
+
+
+def w_y(rs: RcsSystem, v, yl):
+    """W y_l (Tangent): per batch, u2 in point order -> permute back."""
+    y = zero_tangent(v)._asdict()
+    for b in rs.vis:
+        ylg = gather_rows(yl, b.pt_local, b.pt_rows, b.info.pnt, b.info.pts,
+                          b.info.prb)
+        u2_po = jnp.einsum("dkn,nk->dn", b.J_pt_po, ylg)  # (d, Np)
+        u2 = permute_cols(u2_po, b.pt_inv) * b.w[None, :]
+        y = _vis_scatter(b, y, u2)
+    return Tangent(**y)
+
+
+def matvec(rs: RcsSystem, v, x: Tangent) -> Tangent:
+    """S x = (H_rr + damping) x - W H_ll^-1 W^T x."""
+    y = zero_tangent(v)._asdict()
+    for b in rs.vis:
+        u = _vis_u(b, x)
+        y = _vis_scatter(b, y, u * b.w[None, :])
+    hx_rest, _ = engine._hmatvec(
+        engine.LinearizedGraph(rs.rest.lins, rs.rest.w, 0.0, (), (), 0, 0),
+        v, x, jnp.zeros_like(v.points))
+    hx = jax.tree_util.tree_map(jnp.add, Tangent(**y), hx_rest)
+    damped = jax.tree_util.tree_map(
+        lambda h, d, xv: h + rs.lam * (d * xv) + rs.lam * xv, hx, rs.diag_r, x)
+    t = w_transpose_x(rs, v, x)
+    z = engine._chol_solve(rs.H_ll_inv, t)
+    corr = w_y(rs, v, z)
+    return jax.tree_util.tree_map(jnp.subtract, damped, corr)
+
+
+def _apply_precond(rs: RcsSystem, r: Tangent) -> Tangent:
+    p = rs.precond_inv
+    return Tangent(
+        rig=jnp.einsum("nij,nj->ni", p.rig, r.rig),
+        cam_intr=jnp.einsum("nij,nj->ni", p.cam_intr, r.cam_intr),
+        cam_extr=jnp.einsum("nij,nj->ni", p.cam_extr, r.cam_extr),
+        imu_calib=jnp.einsum("nij,nj->ni", p.imu_calib, r.imu_calib),
+        imu_extr=jnp.einsum("nij,nj->ni", p.imu_extr, r.imu_extr),
+        det_bias=jnp.einsum("nij,nj->ni", p.det_bias, r.det_bias),
+        gravity=p.gravity @ r.gravity,
+    )
+
+
+def pcg(rs: RcsSystem, v, b: Tangent, max_iters: int, rel_tol):
+    b_norm2 = t_dot(b, b)
+    x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
+    z0 = _apply_precond(rs, b)
+    rz0 = t_dot(b, z0)
+
+    def cond(state):
+        _, r, _, _, it, _ = state
+        return (it < max_iters) & (t_dot(r, r) > rel_tol * rel_tol * b_norm2)
+
+    def body(state):
+        x, r, z, p, it, rz = state
+        Ap = matvec(rs, v, p)
+        pAp = t_dot(p, Ap)
+        alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+        x = t_axpy(alpha, p, x)
+        r = t_axpy(-alpha, Ap, r)
+        z = _apply_precond(rs, r)
+        rz_new = t_dot(r, z)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        p = t_axpy(beta, p, z)
+        return (x, r, z, p, it + 1, rz_new)
+
+    x, r, _, _, iters, _ = jax.lax.while_loop(cond, body, (x0, b, z0, z0, 0, rz0))
+    rel = jnp.sqrt(t_dot(r, r) / jnp.where(b_norm2 == 0, 1.0, b_norm2))
+    return x, rel, iters
+
+
+def solve_assembled(asm: RcsAsm, v, masks, lam, max_iters=250, rel_tol=1e-10,
+                    precond="gauss_seidel"):
+    """Per-lambda solve on a prebuilt assembly. (The preconditioner family
+    collapses to the Schur-corrected block-Jacobi here — already the cheapest
+    of the useful options on this path.)"""
+    rs = with_damping(asm, v, masks, lam)
+    g_r, g_l = asm.g_r, asm.g_l
+    z = engine._chol_solve(rs.H_ll_inv, g_l)
+    b = jax.tree_util.tree_map(jnp.subtract, g_r, w_y(rs, v, z))
+    x_r, rel, iters = pcg(rs, v, b, max_iters, rel_tol)
+    x_l = engine._chol_solve(rs.H_ll_inv, g_l - w_transpose_x(rs, v, x_r))
+    model_red = 0.5 * (t_dot(x_r, g_r) + jnp.vdot(x_l, g_l))
+    return x_r, x_l, model_red, rel, iters, rs, (g_r, g_l)
+
+
+def solve_step(cfgs, datas, lg, v, masks, lam, max_iters=250, rel_tol=1e-10,
+               precond="gauss_seidel"):
+    """engine.solve_step-compatible single-shot entry (assemble + solve)."""
+    asm = assemble(cfgs, datas, lg, v, masks)
+    return solve_assembled(asm, v, masks, lam, max_iters, rel_tol, precond)
+
+
+def solve_with_system(lg, v, rs: RcsSystem, g_r, g_l, max_iters=250, rel_tol=1e-10):
+    z = engine._chol_solve(rs.H_ll_inv, g_l)
+    b = jax.tree_util.tree_map(jnp.subtract, g_r, w_y(rs, v, z))
+    x_r, _, _ = pcg(rs, v, b, max_iters, rel_tol)
+    x_l = engine._chol_solve(rs.H_ll_inv, g_l - w_transpose_x(rs, v, x_r))
+    return x_r, x_l
