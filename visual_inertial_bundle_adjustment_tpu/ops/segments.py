@@ -1,0 +1,266 @@
+"""Pallas ragged-tile segment kernels for the blocked RCS solver.
+
+The blocked solver (problem/rcs.py) expresses every factor->variable
+reduction (scatter-add) and variable->factor expansion (gather) as one-hot
+matmuls over fixed-size tiles: within a tile of `ts` observations all rig
+(or landmark) indices fall in a window of `rb` rows, so gather = oh @ rows
+and scatter = oh^T @ contribs with oh a (ts, rb) selection matrix.
+
+Pure-XLA one-hot einsums materialize oh in HBM — (nt, ts, rb) f32 is
+~400 MB for a 2-minute session and is re-written and re-read on every PCG
+matvec, which makes the solve HBM-bound. These kernels build the one-hot
+tile in VMEM from the (ts,) local-index vector and keep the contraction on
+the MXU, so HBM traffic drops to the payload (J blocks, partials).
+
+Fused variants evaluate the whole rig-side Schur matvec contribution
+  wu = w * (J @ gather(x)),   y_part = oh^T @ (J^T @ wu)
+in one kernel per tile, reading the (d, k, ts) Jacobian block exactly once.
+
+All kernels have an exact XLA one-hot fallback used on non-TPU backends
+(tests/f64) — selection by {0,1} matmul is exact in either implementation.
+
+Replaces the reference's assembled block-CSR SpMV inside BaSpaCho
+(lib/small_thing/Optimizer.cpp:212-331); the ragged-tile plan is built once
+on the host (rcs.finalize_blocks), these kernels are the numeric phase.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def use_pallas(*arrays) -> bool:
+    """Pallas path: TPU backend and no f64 operands (Mosaic has no f64)."""
+    if jax.default_backend() != "tpu":
+        return False
+    return all(a.dtype != jnp.float64 for a in arrays)
+
+
+def _oh(loc, rb):
+    """(ts, rb) one-hot selection tile from tile-local indices (ts,)."""
+    ts = loc.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ts, rb), 1)
+    return cols == loc[:, None]
+
+
+# ---------------------------------------------------------------------------
+# seg_reduce: segment-sum contributions into tile partials
+# ---------------------------------------------------------------------------
+
+
+def _seg_reduce_kernel(loc_ref, c_ref, out_ref):
+    rb = out_ref.shape[1]
+    oh = _oh(loc_ref[0, 0], rb).astype(c_ref.dtype)
+    # (rb, D) = oh^T (rb, ts) @ c^T (ts, D), contracted without transposes
+    out_ref[0] = jax.lax.dot_general(
+        oh, c_ref[:], (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def seg_reduce_partials(contrib, local, nt, ts, rb):
+    """contrib (D, nt*ts), local (nt*ts,) -> tile partials (nt, rb, D)."""
+    D = contrib.shape[0]
+    if not use_pallas(contrib):
+        oh = (
+            jnp.arange(rb, dtype=local.dtype)[None, :, None]
+            == local.reshape(nt, ts)[:, None, :]
+        ).astype(contrib.dtype)
+        part = jnp.einsum(
+            "tro,dto->trd", oh, contrib.reshape(D, nt, ts),
+            preferred_element_type=jnp.float32,
+        ).astype(contrib.dtype)
+        return part
+    return pl.pallas_call(
+        _seg_reduce_kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, ts), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, ts), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rb, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt, rb, D), contrib.dtype),
+    )(local.reshape(nt, 1, ts).astype(jnp.int32), contrib)
+
+
+# ---------------------------------------------------------------------------
+# seg_gather: expand tile rows to per-observation rows
+# ---------------------------------------------------------------------------
+
+
+def _seg_gather_kernel(loc_ref, xt_ref, out_ref):
+    rb = xt_ref.shape[1]
+    oh = _oh(loc_ref[0, 0], rb).astype(xt_ref.dtype)
+    out_ref[:] = jnp.dot(
+        oh, xt_ref[0], preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+def seg_gather_from_tiles(xt, local, nt, ts, rb):
+    """xt (nt, rb, D) addressed tile rows -> per-observation rows (nt*ts, D)."""
+    D = xt.shape[-1]
+    if not use_pallas(xt):
+        oh = (
+            jnp.arange(rb, dtype=local.dtype)[None, :, None]
+            == local.reshape(nt, ts)[:, None, :]
+        ).astype(xt.dtype)
+        out = jnp.einsum("tro,trd->tod", oh, xt, preferred_element_type=jnp.float32)
+        return out.reshape(nt * ts, D).astype(xt.dtype)
+    return pl.pallas_call(
+        _seg_gather_kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, ts), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ts, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt * ts, D), xt.dtype),
+    )(local.reshape(nt, 1, ts).astype(jnp.int32), xt)
+
+
+# ---------------------------------------------------------------------------
+# Fused matvec kernels: J read once per tile
+# ---------------------------------------------------------------------------
+
+
+def _mv_fused_kernel(loc_ref, xt_ref, j_ref, w_ref, wu_ref, y_ref):
+    """wu = w * (J @ oh-gather(x));  y_part = oh^T @ (J^T @ wu)."""
+    rb = xt_ref.shape[1]
+    oh = _oh(loc_ref[0, 0], rb).astype(xt_ref.dtype)
+    # xgT (k, ts) = xt^T (k, rb) @ oh^T — contract rb on both, no transposes
+    xgT = jax.lax.dot_general(
+        xt_ref[0], oh, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    J = j_ref[:]  # (d, k, ts)
+    u = jnp.sum(J * xgT[None, :, :], axis=1)  # (d, ts)
+    wu = u * w_ref[0, 0][None, :]
+    wu_ref[:] = wu.astype(wu_ref.dtype)
+    contrib = jnp.sum(J * wu[:, None, :], axis=0)  # (k, ts)
+    y_ref[0] = jax.lax.dot_general(
+        oh, contrib, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(y_ref.dtype)
+
+
+def seg_mv_fused(J, w, xt, local, nt, ts, rb):
+    """Rig-side matvec tile pass.
+
+    J (d, k, nt*ts), w (nt*ts,), xt (nt, rb, k) gathered tile rows ->
+    (wu (d, nt*ts), y_part (nt, rb, k)).
+    """
+    d, k, _ = J.shape
+    if not use_pallas(J):
+        xg = seg_gather_from_tiles(xt, local, nt, ts, rb)  # (N, k)
+        u = jnp.einsum("dkn,nk->dn", J, xg)
+        wu = u * w[None, :]
+        contrib = jnp.einsum("dkn,dn->kn", J, wu)
+        return wu, seg_reduce_partials(contrib, local, nt, ts, rb)
+    return pl.pallas_call(
+        _mv_fused_kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, ts), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, k, ts), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ts), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((d, ts), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, nt * ts), J.dtype),
+            jax.ShapeDtypeStruct((nt, rb, k), J.dtype),
+        ),
+    )(
+        local.reshape(nt, 1, ts).astype(jnp.int32),
+        xt,
+        J,
+        w.reshape(nt, 1, ts),
+    )
+
+
+def _mv_gather_kernel(loc_ref, xt_ref, j_ref, u_ref):
+    """u = J @ oh-gather(x) (no weighting)."""
+    rb = xt_ref.shape[1]
+    oh = _oh(loc_ref[0, 0], rb).astype(xt_ref.dtype)
+    xgT = jax.lax.dot_general(
+        xt_ref[0], oh, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    u_ref[:] = jnp.sum(j_ref[:] * xgT[None, :, :], axis=1).astype(u_ref.dtype)
+
+
+def seg_mv_gather(J, xt, local, nt, ts, rb):
+    """u (d, nt*ts) = J @ gathered table rows (xt (nt, rb, k))."""
+    d, k, _ = J.shape
+    if not use_pallas(J):
+        xg = seg_gather_from_tiles(xt, local, nt, ts, rb)
+        return jnp.einsum("dkn,nk->dn", J, xg)
+    return pl.pallas_call(
+        _mv_gather_kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, ts), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, k, ts), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d, ts), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, nt * ts), J.dtype),
+    )(local.reshape(nt, 1, ts).astype(jnp.int32), xt, J)
+
+
+def _mv_scatter_kernel(loc_ref, j_ref, u_ref, y_ref):
+    """y_part = oh^T @ (J^T @ u)."""
+    rb = y_ref.shape[1]
+    oh = _oh(loc_ref[0, 0], rb).astype(j_ref.dtype)
+    contrib = jnp.sum(j_ref[:] * u_ref[:][:, None, :], axis=0)  # (k, ts)
+    y_ref[0] = jax.lax.dot_general(
+        oh, contrib, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(y_ref.dtype)
+
+
+def seg_mv_scatter(J, u, local, nt, ts, rb):
+    """Tile partials (nt, rb, k) of the segment-sum of J^T u."""
+    d, k, _ = J.shape
+    if not use_pallas(J):
+        contrib = jnp.einsum("dkn,dn->kn", J, u)
+        return seg_reduce_partials(contrib, local, nt, ts, rb)
+    return pl.pallas_call(
+        _mv_scatter_kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, ts), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, k, ts), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, ts), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rb, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt, rb, k), J.dtype),
+    )(local.reshape(nt, 1, ts).astype(jnp.int32), J, u)
+
+
+# ---------------------------------------------------------------------------
+# Partials <-> global rows (tiny XLA gather/scatter over nt*rb rows)
+# ---------------------------------------------------------------------------
+
+
+def scatter_partials(part, rows, n_rows, rb):
+    """(nt, rb, D) partials + addressed rows (nt*rb,) -> (n_rows, D)."""
+    D = part.shape[-1]
+    out = jnp.zeros((n_rows + rb, D), part.dtype)
+    out = out.at[rows].add(part.reshape(-1, D))
+    return out[:n_rows]
+
+
+def gather_tiles(table, rows, nt, rb):
+    """(n_rows, D) table + addressed rows -> (nt, rb, D) tile rows."""
+    D = table.shape[-1]
+    text = jnp.concatenate([table, jnp.zeros((rb, D), table.dtype)], axis=0)
+    return text[rows].reshape(nt, rb, D)

@@ -88,6 +88,17 @@ class AdapterOptions:
     rigs_constant: bool = False  # setAllRigsConstant
     use_detector_bias: bool = False
     max_track_len: int = 64  # padding bound for triangulation
+    # trajectory init overrides (reference Settings.h:34-37; tokens
+    # pose|vel|omega|all as in TrajectoryInitArgSpec)
+    trajectory_to_gt: tuple = ()  # components initialized from gt_trajectory
+    trajectory_constant: tuple = ()  # components held constant
+    gt_trajectory: object = None  # init_rigs.InterpolatedTrajectory-like
+    # map-anchored init (reference initRigsInterpolatingPoses):
+    # (kr_timestamps_us, kr_pose_q, kr_pose_t) with poses T_bodyImu_world in
+    # the map world frame; rigs outside the grown keyrig ranges stay on the
+    # raw trajectory
+    map_keyrigs: tuple = None
+    rig_window_grow: int = 10  # SingleSessionAdapter.h:101
 
 
 class SessionAdapter:
@@ -198,6 +209,36 @@ class SessionAdapter:
         vel = sd.traj_vel_w[rows]
         omega = sd.traj_omega[rows]
 
+        # map-anchored init (initRigsInterpolatingPoses, InitRigs.cpp:236-400)
+        if opts.map_keyrigs is not None:
+            from . import init_rigs as ir
+
+            kr_ts, kr_q, kr_t = opts.map_keyrigs
+            kr_rig = np.asarray([self.ts_to_rig[int(t)] for t in kr_ts], np.int64)
+            reset_rigs = [
+                self.ts_to_rig[t] for t in getattr(sd, "reset_timestamps_us", [])
+                if t in self.ts_to_rig
+            ]
+            pose_q, pose_t, vel, omega, _, _ = ir.init_rigs_interpolating_poses(
+                pose_q, pose_t, vel, omega, self.rig_ts_us,
+                kr_rig, np.asarray(kr_q), np.asarray(kr_t),
+                reset_rig_indices=reset_rigs,
+                rig_window_grow=opts.rig_window_grow, log=self.log,
+            )
+
+        # GT-trajectory overrides (initRigsFromGtTrajectory, InitRigs.cpp:146-230)
+        to_gt = set(opts.trajectory_to_gt)
+        if "all" in to_gt:
+            to_gt = {"pose", "vel", "omega"}
+        if opts.gt_trajectory is not None and to_gt:
+            from . import init_rigs as ir
+
+            pose_q, pose_t, vel, omega = ir.init_rigs_from_gt(
+                pose_q, pose_t, vel, omega, self.rig_ts_us, opts.gt_trajectory,
+                pose_to_gt="pose" in to_gt, vel_to_gt="vel" in to_gt,
+                omega_to_gt="omega" in to_gt,
+            )
+
         # calibration window variables, value at each window's LAST rig
         calib_src = sd.factory if opts.factory_init else None
         cam_intr = np.zeros((W * nC, cam_ops.MAX_PARAMS))
@@ -288,6 +329,18 @@ class SessionAdapter:
         masks = full_masks(v)
         if opts.rigs_constant:
             masks = masks._replace(rig=jnp.zeros_like(masks.rig))
+        const = set(opts.trajectory_constant)
+        if "all" in const:
+            const = {"pose", "vel", "omega"}
+        if const:  # --trajectory-constant tokens (Settings.cpp:191-196)
+            rig = np.array(masks.rig)
+            if "pose" in const:
+                rig[:, 0:6] = 0.0
+            if "vel" in const:
+                rig[:, 6:9] = 0.0
+            if "omega" in const:
+                rig[:, 9:12] = 0.0
+            masks = masks._replace(rig=jnp.asarray(rig))
         if opts.fix_first_rig_gauge:
             masks = masks._replace(rig=masks.rig.at[0].set(0.0))
         if not opts.estimate_gravity:

@@ -113,8 +113,15 @@ def build_arg_parser():
     p.add_argument("--cam-extr-rw-infl", type=float, default=1.0)
     p.add_argument("--imu-calib-rw-infl", type=float, default=1.0)
     p.add_argument("--imu-extr-rw-infl", type=float, default=1.0)
-    # trajectory
-    p.add_argument("--trajectory-constant", action="store_true")
+    # trajectory (Settings.cpp:191-210; tokens pose|vel|omega|all)
+    p.add_argument("--trajectory-constant", nargs="?", const="all", default="")
+    p.add_argument("--trajectory-to-gt", default="",
+                   help="init trajectory components from the GT trajectory; "
+                        "comma-sep of: pose|vel|omega|all")
+    p.add_argument("--gt-trajectory-base-name", default=None,
+                   help="MPS-format trajectory CSV inside the session dir "
+                        "used as ground truth (closed-loop column set if the "
+                        "name contains 'closed', open-loop otherwise)")
     # optimizer
     p.add_argument("--max-num-iterations", type=int, default=250)
     p.add_argument("--linear-solver", default="auto",
@@ -152,6 +159,25 @@ def main(argv=None):
     log("Loading...")
     sd = sio.load_session(args.input_dir)
 
+    traj_tokens = {"pose", "vel", "omega", "all"}
+    traj_const = tuple(t for t, on in each_token(args.trajectory_constant) if on)
+    traj_to_gt = tuple(t for t, on in each_token(args.trajectory_to_gt) if on)
+    for t in (*traj_const, *traj_to_gt):
+        if t not in traj_tokens:
+            raise SystemExit(f"unknown trajectory token: {t}")
+    gt_traj = None
+    if args.gt_trajectory_base_name:
+        from .init_rigs import InterpolatedTrajectory
+
+        gt_path = Path(args.input_dir) / args.gt_trajectory_base_name
+        _, g_ts, g_q, g_t, g_vel, g_om = sio.load_trajectory_csv(
+            gt_path, sd.q_bodyImu_device, sd.t_bodyImu_device,
+            use_closed="closed" in args.gt_trajectory_base_name,
+        )
+        gt_traj = InterpolatedTrajectory(g_ts, g_q, g_t, g_vel, g_om)
+    elif traj_to_gt:
+        raise SystemExit("--trajectory-to-gt requires --gt-trajectory-base-name")
+
     const = parse_calib_groups(args.calib_constant)
     fact = parse_calib_groups(args.calib_factory)
     opts = AdapterOptions(
@@ -165,7 +191,9 @@ def main(argv=None):
         estimate_cam_time_offset=args.estimate_time_offset,
         factory_prior_inflate=0.0 if args.no_fprio else args.imu_calib_fprio_infl,
         rw_inflate=args.imu_calib_rw_infl,
-        rigs_constant=args.trajectory_constant,
+        trajectory_constant=traj_const,
+        trajectory_to_gt=traj_to_gt,
+        gt_trajectory=gt_traj,
         use_detector_bias=args.optimize_detector_bias,
     )
     log("Creating problem...")

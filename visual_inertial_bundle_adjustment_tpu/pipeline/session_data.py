@@ -232,6 +232,47 @@ def _calib_state_from_json(j, timestamp_us=0) -> CalibrationState:
     )
 
 
+def load_trajectory_csv(traj_path, bq, bt, use_closed):
+    """Parse an MPS-format trajectory CSV and convert device -> bodyImu
+    (reference SessionData.cpp:278-316). bq/bt = T_bodyImu_device. Returns
+    (raw rows, timestamps_us, pose_q, pose_t (T_bodyImu_world), vel_world,
+    omega_bodyImu)."""
+    rows = np.genfromtxt(traj_path, delimiter=",", names=True, dtype=None, encoding="utf-8")
+    rows = np.atleast_1d(rows)
+    pre = "world" if use_closed else "odometry"
+    t_dev = np.stack([rows[f"t{a}_{pre}_device" if not use_closed else f"t{a}_world_device"]
+                      for a in "xyz"], -1)
+    q_dev_xyzw = np.stack(
+        [rows[f"q{a}_{'world' if use_closed else 'odometry'}_device"] for a in "xyzw"], -1
+    )
+    q_dev = np.concatenate([q_dev_xyzw[:, 3:4], q_dev_xyzw[:, :3]], axis=1)  # wxyz T_world_device
+    vel_field = (
+        "device_linear_velocity_x_device" if use_closed else "device_linear_velocity_x_odometry"
+    )
+    vel = np.stack([rows[vel_field.replace("_x_", f"_{a}_")] for a in "xyz"], -1)
+    omega_dev = np.stack([rows[f"angular_velocity_{a}_device"] for a in "xyz"], -1)
+
+    # convert device -> bodyImu (SessionData.cpp:278-316)
+    dq, dt = _se3_inv(bq, bt)  # T_device_bodyImu
+    qw_dev, tw_dev = q_dev, t_dev  # T_world_device
+    q_w_bI, t_w_bI = _se3_mul(qw_dev, tw_dev, np.broadcast_to(dq, q_dev.shape),
+                              np.broadcast_to(dt, t_dev.shape))
+    q_bI_w, t_bI_w = _se3_inv(q_w_bI, t_w_bI)
+    omega_bI = _q_rot(np.broadcast_to(bq, q_dev.shape), omega_dev)
+    # velocity of the bodyImu origin in world frame:
+    #   v_bI = v_dev + R_world_device (omega_dev x t_device_bodyImu)
+    # (reference SessionData.cpp:278-316; closed-loop velocities are stored in
+    # the device frame, open-loop in the odometry/world frame)
+    dt_b = np.broadcast_to(dt, t_dev.shape)
+    if use_closed:
+        vel_w = _q_rot(qw_dev, vel + np.cross(omega_dev, dt_b))
+    else:
+        vel_w = vel + _q_rot(qw_dev, np.cross(omega_dev, dt_b))
+
+    ts_us = rows["tracking_timestamp_us"].astype(np.int64)
+    return rows, ts_us, q_bI_w, t_bI_w, vel_w, omega_bI
+
+
 def load_session(path, load_imu=True) -> SessionData:
     """Reference SessionData::load (SessionData.cpp:81-359)."""
     path = Path(path)
@@ -266,39 +307,9 @@ def load_session(path, load_imu=True) -> SessionData:
     open_loop = path / "open_loop_trajectory.csv"
     use_closed = closed.exists()
     traj_path = closed if use_closed else open_loop
-    rows = np.genfromtxt(traj_path, delimiter=",", names=True, dtype=None, encoding="utf-8")
-    rows = np.atleast_1d(rows)
-    pre = "world" if use_closed else "odometry"
-    t_dev = np.stack([rows[f"t{a}_{pre}_device" if not use_closed else f"t{a}_world_device"]
-                      for a in "xyz"], -1)
-    q_dev_xyzw = np.stack(
-        [rows[f"q{a}_{'world' if use_closed else 'odometry'}_device"] for a in "xyzw"], -1
+    rows, ts_us, q_bI_w, t_bI_w, vel_w, omega_bI = load_trajectory_csv(
+        traj_path, bq, bt, use_closed
     )
-    q_dev = np.concatenate([q_dev_xyzw[:, 3:4], q_dev_xyzw[:, :3]], axis=1)  # wxyz T_world_device
-    vel_field = (
-        "device_linear_velocity_x_device" if use_closed else "device_linear_velocity_x_odometry"
-    )
-    vel = np.stack([rows[vel_field.replace("_x_", f"_{a}_")] for a in "xyz"], -1)
-    omega_dev = np.stack([rows[f"angular_velocity_{a}_device"] for a in "xyz"], -1)
-
-    # convert device -> bodyImu (SessionData.cpp:278-316)
-    dq, dt = _se3_inv(bq, bt)  # T_device_bodyImu
-    qw_dev, tw_dev = q_dev, t_dev  # T_world_device
-    q_w_bI, t_w_bI = _se3_mul(qw_dev, tw_dev, np.broadcast_to(dq, q_dev.shape),
-                              np.broadcast_to(dt, t_dev.shape))
-    q_bI_w, t_bI_w = _se3_inv(q_w_bI, t_w_bI)
-    omega_bI = _q_rot(np.broadcast_to(bq, q_dev.shape), omega_dev)
-    # velocity of the bodyImu origin in world frame:
-    #   v_bI = v_dev + R_world_device (omega_dev x t_device_bodyImu)
-    # (reference SessionData.cpp:278-316; closed-loop velocities are stored in
-    # the device frame, open-loop in the odometry/world frame)
-    dt_b = np.broadcast_to(dt, t_dev.shape)
-    if use_closed:
-        vel_w = _q_rot(qw_dev, vel + np.cross(omega_dev, dt_b))
-    else:
-        vel_w = vel + _q_rot(qw_dev, np.cross(omega_dev, dt_b))
-
-    ts_us = rows["tracking_timestamp_us"].astype(np.int64)
     utc = (
         rows["utc_timestamp_ns"].astype(np.int64)
         if "utc_timestamp_ns" in rows.dtype.names

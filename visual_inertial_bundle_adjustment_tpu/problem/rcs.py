@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import segments as seg
 from . import engine
 from . import factors as fct
 from .structure import Masks, Tangent, VariableTables, t_axpy, t_dot, zero_tangent
@@ -158,34 +159,19 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096):
 # ---------------------------------------------------------------------------
 
 
-def _onehot(local, nt, ts, rb, dtype=jnp.float32):
-    """(nt, rb, ts) tile-local one-hot; exact selection in f32."""
-    loc = local.reshape(nt, ts)
-    return (jnp.arange(rb, dtype=loc.dtype)[None, :, None] == loc[:, None, :]).astype(dtype)
-
-
 def reduce_rows(contrib, local, rows, nt, ts, rb, n_rows):
     """Segment-sum `contrib` (D, Npad) into (n_rows, D): per-tile one-hot
-    matmul, then a tiny (nt*rb)-row scatter of the partials."""
-    D = contrib.shape[0]
-    oh = _onehot(local, nt, ts, rb, contrib.dtype)
-    c = contrib.reshape(D, nt, ts)
-    part = jnp.einsum("tro,dto->trd", oh, c,
-                      preferred_element_type=jnp.float32).astype(contrib.dtype)
-    out = jnp.zeros((n_rows + rb, D), contrib.dtype)
-    out = out.at[rows].add(part.reshape(nt * rb, D))
-    return out[:n_rows]
+    matmul (Pallas kernel on TPU, VMEM-resident one-hot — ops/segments.py),
+    then a tiny (nt*rb)-row scatter of the partials."""
+    part = seg.seg_reduce_partials(contrib, local, nt, ts, rb)
+    return seg.scatter_partials(part, rows, n_rows, rb)
 
 
 def gather_rows(table, local, rows, nt, ts, rb):
     """table (n_rows, D) -> per-observation rows (Npad, D): tiny (nt*rb)-row
     gather of the addressed slices, then per-tile one-hot matmul."""
-    n_rows, D = table.shape
-    text = jnp.concatenate([table, jnp.zeros((rb, D), table.dtype)], axis=0)
-    xt = text[rows].reshape(nt, rb, D)
-    oh = _onehot(local, nt, ts, rb, table.dtype)
-    out = jnp.einsum("tro,trd->tod", oh, xt, preferred_element_type=jnp.float32)
-    return out.reshape(nt * ts, D).astype(table.dtype)
+    xt = seg.gather_tiles(table, rows, nt, rb)
+    return seg.seg_gather_from_tiles(xt, local, nt, ts, rb)
 
 
 def permute_cols(a, idx):
@@ -502,8 +488,12 @@ def _vis_u(b: VisBatch, x: Tangent):
     u = None
     for group, idx, J in zip(b.groups, b.idx, b.jac):
         if group == fct.RIG:
-            xg = gather_rows(getattr(x, group), b.rb_local, b.rb_rows,
-                             b.info.nt, b.info.ts, b.info.rb)
+            xt = seg.gather_tiles(getattr(x, group), b.rb_rows, b.info.nt,
+                                  b.info.rb)
+            term = seg.seg_mv_gather(J, xt, b.rb_local, b.info.nt, b.info.ts,
+                                     b.info.rb)
+            u = term if u is None else u + term
+            continue
         elif group == fct.GRAVITY:
             xg = jnp.broadcast_to(x.gravity[None, :], (J.shape[-1], 2))
         else:
@@ -516,55 +506,82 @@ def _vis_u(b: VisBatch, x: Tangent):
 def _vis_scatter(b: VisBatch, y: dict, wu):
     """y_g += J_g^T wu for non-point groups."""
     for group, idx, J, ell in zip(b.groups, b.idx, b.jac, b.ells):
-        contrib = jnp.einsum("dkn,dn->kn", J, wu)
         if group == fct.RIG:
-            y[group] = y[group] + reduce_rows(
-                contrib, b.rb_local, b.rb_rows, b.info.nt, b.info.ts,
-                b.info.rb, y[group].shape[0])
-        elif group == fct.GRAVITY:
+            part = seg.seg_mv_scatter(J, wu, b.rb_local, b.info.nt, b.info.ts,
+                                      b.info.rb)
+            y[group] = y[group] + seg.scatter_partials(
+                part, b.rb_rows, y[group].shape[0], b.info.rb)
+            continue
+        contrib = jnp.einsum("dkn,dn->kn", J, wu)
+        if group == fct.GRAVITY:
             y[group] = y[group] + jnp.sum(contrib, axis=-1)
         else:
             y[group] = y[group] + fct.scatter_rows(ell, idx, contrib, y[group].shape[0])
     return y
 
 
+def _pt_reduce(b: VisBatch, wu):
+    """W^T-side point partial: wu (d, N) rig order -> (L-rows summand)."""
+    u_po = permute_cols(wu, b.pt_perm)  # (d, Np); pads masked inside J_pt_po
+    part = seg.seg_mv_scatter(b.J_pt_po, u_po, b.pt_local, b.info.pnt,
+                              b.info.pts, b.info.prb)
+    return part
+
+
 def w_transpose_x(rs: RcsSystem, v, x: Tangent):
     """W^T x (L, 3): per batch, u in rig order -> permute (d,N) -> point grid."""
     t = jnp.zeros_like(v.points)
     for b in rs.vis:
-        u = _vis_u(b, x) * b.w[None, :]
-        u_po = permute_cols(u, b.pt_perm)  # (d, Np); pads masked inside J_pt_po
-        contrib = jnp.einsum("dkn,dn->kn", b.J_pt_po, u_po)
-        t = t + reduce_rows(contrib, b.pt_local, b.pt_rows, b.info.pnt,
-                            b.info.pts, b.info.prb, t.shape[0])
+        wu = _vis_u(b, x) * b.w[None, :]
+        part = _pt_reduce(b, wu)
+        t = t + seg.scatter_partials(part, b.pt_rows, t.shape[0], b.info.prb)
     return t
+
+
+def _pt_expand(b: VisBatch, yl):
+    """u2 (d, N) rig order = w * permute_back(J_pt_po @ gathered y_l)."""
+    yt = seg.gather_tiles(yl, b.pt_rows, b.info.pnt, b.info.prb)
+    u2_po = seg.seg_mv_gather(b.J_pt_po, yt, b.pt_local, b.info.pnt,
+                              b.info.pts, b.info.prb)
+    return permute_cols(u2_po, b.pt_inv) * b.w[None, :]
 
 
 def w_y(rs: RcsSystem, v, yl):
     """W y_l (Tangent): per batch, u2 in point order -> permute back."""
     y = zero_tangent(v)._asdict()
     for b in rs.vis:
-        ylg = gather_rows(yl, b.pt_local, b.pt_rows, b.info.pnt, b.info.pts,
-                          b.info.prb)
-        u2_po = jnp.einsum("dkn,nk->dn", b.J_pt_po, ylg)  # (d, Np)
-        u2 = permute_cols(u2_po, b.pt_inv) * b.w[None, :]
-        y = _vis_scatter(b, y, u2)
+        y = _vis_scatter(b, y, _pt_expand(b, yl))
     return Tangent(**y)
 
 
 def matvec(rs: RcsSystem, v, x: Tangent) -> Tangent:
-    """S x = (H_rr + damping) x - W H_ll^-1 W^T x."""
+    """S x = (H_rr + damping) x - W H_ll^-1 W^T x.
+
+    Single pass per visual batch: wu = w * (J_r x) is computed ONCE (fused
+    Pallas tile kernel when the batch couples only rigs — the common case)
+    and feeds both the rig-side scatter (H_rr x) and the point-side
+    reduction (W^T x)."""
     y = zero_tangent(v)._asdict()
+    t = jnp.zeros_like(v.points)
     for b in rs.vis:
-        u = _vis_u(b, x)
-        y = _vis_scatter(b, y, u * b.w[None, :])
+        if b.groups == (fct.RIG,):
+            (J,) = b.jac
+            xt = seg.gather_tiles(x.rig, b.rb_rows, b.info.nt, b.info.rb)
+            wu, part = seg.seg_mv_fused(J, b.w, xt, b.rb_local, b.info.nt,
+                                        b.info.ts, b.info.rb)
+            y[fct.RIG] = y[fct.RIG] + seg.scatter_partials(
+                part, b.rb_rows, y[fct.RIG].shape[0], b.info.rb)
+        else:
+            wu = _vis_u(b, x) * b.w[None, :]
+            y = _vis_scatter(b, y, wu)
+        ppart = _pt_reduce(b, wu)
+        t = t + seg.scatter_partials(ppart, b.pt_rows, t.shape[0], b.info.prb)
     hx_rest, _ = engine._hmatvec(
         engine.LinearizedGraph(rs.rest.lins, rs.rest.w, 0.0, (), (), 0, 0),
         v, x, jnp.zeros_like(v.points))
     hx = jax.tree_util.tree_map(jnp.add, Tangent(**y), hx_rest)
     damped = jax.tree_util.tree_map(
         lambda h, d, xv: h + rs.lam * (d * xv) + rs.lam * xv, hx, rs.diag_r, x)
-    t = w_transpose_x(rs, v, x)
     z = engine._chol_solve(rs.H_ll_inv, t)
     corr = w_y(rs, v, z)
     return jax.tree_util.tree_map(jnp.subtract, damped, corr)
