@@ -131,5 +131,93 @@ def test_condensed_factor_reproduces_marginal(problem):
         np.testing.assert_allclose(bb, a, atol=0.05 * scale + 3e-4)
 
 
+def _masks_rel(problem, base, rigs):
+    """Masks freeing base vel/omega + given rigs + gravity only."""
+    m = full_masks(problem.variables)
+    rig = jnp.zeros_like(m.rig)
+    rig = rig.at[base, 6:12].set(1.0)
+    for r in rigs:
+        rig = rig.at[r].set(1.0)
+    return m._replace(
+        rig=rig,
+        points=jnp.zeros_like(m.points),
+        cam_intr=jnp.zeros_like(m.cam_intr),
+        cam_extr=jnp.zeros_like(m.cam_extr),
+        imu_calib=jnp.zeros_like(m.imu_calib),
+        imu_extr=jnp.zeros_like(m.imu_extr),
+        det_bias=jnp.zeros_like(m.det_bias),
+    )
+
+
+def test_relative_condensed_factor_gauge_invariant(problem):
+    """Reference TestCondensedFactor.cpp:335-774 (proxy re-injection): the
+    relative condensed factor's residual is invariant under a rigid world
+    transformation of all variables (ProxyRelativePoses/TransformedVelocities/
+    ProxyS2 semantics)."""
+    from visual_inertial_bundle_adjustment_tpu.problem.structure import (
+        apply_world_transformation,
+    )
+    from visual_inertial_bundle_adjustment_tpu.ops import lie
+
+    base, rigs = 4, [5, 6]
+    Hm, b = condensed.marginalize_rel_onto_rigs(problem, base, rigs, lam=1e-7)
+    assert np.all(np.isfinite(Hm)) and np.all(np.isfinite(b))
+    v = problem.variables
+    kind, data = condensed.make_condensed_rel_batch(v, base, rigs, Hm, b)
+    cfg = fct.BatchCfg(kind=kind)
+    m = _masks_rel(problem, base, rigs)
+
+    lg0 = engine.linearize((cfg,), (data,), v, m)
+    res0 = np.asarray(lg0.lins[0].res)
+
+    # rigid world motion moves base + rigs + gravity together -> same residual
+    rng = np.random.default_rng(3)
+    xi = jnp.asarray(rng.normal(size=6) * np.array([2.0, 2.0, 2.0, 0.6, 0.6, 0.6]))
+    Tq, Tt = lie.se3_exp(xi)
+    v2 = apply_world_transformation(v, Tq, Tt)
+    lg1 = engine.linearize((cfg,), (data,), v2, m)
+    res1 = np.asarray(lg1.lins[0].res)
+    scale = max(np.abs(res0).max(), 1.0)
+    np.testing.assert_allclose(res1, res0, atol=1e-6 * scale)
+
+
+def test_relative_condensed_factor_reproduces_marginal(problem):
+    """GN step of the condensed-only problem (base pose fixed) matches the
+    full problem's step under the same gauge."""
+    base, rigs = 4, [5, 6]
+    lam = 1e-7
+    Hm, b = condensed.marginalize_rel_onto_rigs(problem, base, rigs, lam=lam)
+    v = problem.variables
+    kind, data = condensed.make_condensed_rel_batch(v, base, rigs, Hm, b)
+    m = _masks_rel(problem, base, rigs)
+    cfgs2, datas2 = (fct.BatchCfg(kind=kind),), (data,)
+    lg2 = engine.linearize(cfgs2, datas2, v, m)
+    x2, _, *_ = engine.solve_step(
+        cfgs2, datas2, lg2, v, m, jnp.asarray(lam), max_iters=500, rel_tol=1e-13
+    )
+
+    # full problem with the base pose held constant (same gauge)
+    mfull = problem.masks._replace(
+        rig=problem.masks.rig.at[base, 0:6].set(0.0)
+    )
+    cfgs, datas = tuple(problem.cfgs), tuple(problem.datas)
+    lg = engine.linearize(cfgs, datas, v, mfull)
+    x1, _, *_ = engine.solve_step(
+        cfgs, datas, lg, v, mfull, jnp.asarray(lam), max_iters=800, rel_tol=1e-13
+    )
+    scale = max(max(np.abs(np.asarray(x1.rig[r])).max() for r in rigs), 1e-9)
+    for r in rigs:
+        np.testing.assert_allclose(
+            np.asarray(x2.rig[r]), np.asarray(x1.rig[r]), atol=0.05 * scale + 3e-4
+        )
+    np.testing.assert_allclose(
+        np.asarray(x2.rig[base, 6:12]), np.asarray(x1.rig[base, 6:12]),
+        atol=0.05 * scale + 3e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(x2.gravity), np.asarray(x1.gravity), atol=0.05 * scale + 3e-4
+    )
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])

@@ -23,7 +23,7 @@ import numpy as np
 
 from . import engine
 from . import factors as fct
-from .structure import Tangent, zero_tangent
+from .structure import Masks, Tangent, zero_tangent
 
 GAUGE_POS_STD = 1e-4  # tight position prior
 GAUGE_YAW_STD = 1e-4  # tight yaw-about-gravity prior
@@ -113,6 +113,65 @@ def rig_covariances(problem, rig_indices, **kw):
             entries = [("rig", int(r), d) for d in range(12)]
             out[int(r)] = joint_covariance(problem, entries, **kw)
     return out
+
+
+def calib_covariances(problem, group: str, rows, **kw):
+    """Joint covariance blocks of calibration-window variables.
+
+    Reference SingleSessionProblem::computeCovariances (.cpp:66-138) also
+    extracts per-calibration-variable joint covariances; `group` is one of
+    'cam_intr', 'cam_extr', 'imu_calib', 'imu_extr', 'det_bias'. Disabled
+    tangent dims (mask 0) are skipped; the returned block covers only the
+    enabled dims, with `dims` listing them."""
+    masks = problem.masks
+    marr = np.asarray(getattr(masks, group))
+    out = {}
+    with with_gauge_prior(problem):
+        for r in rows:
+            dims = [d for d in range(marr.shape[1]) if marr[int(r), d] > 0.5]
+            if not dims:
+                out[int(r)] = (np.zeros((0, 0)), [])
+                continue
+            entries = [(group, int(r), d) for d in dims]
+            out[int(r)] = (joint_covariance(problem, entries, **kw), dims)
+    return out
+
+
+def update_under_conditioning(problem, cond_t, cond_points, cond_masks,
+                              lam=1e-9, pcg_iters=800, pcg_tol=1e-12):
+    """Apply `cond_t`/`cond_points` to the conditioned dims (cond_masks=1)
+    and move every other free variable to the conditional optimum of the
+    quadratic model: x_o = -H_oo^-1 H_oc u.
+
+    Reference Optimizer::updateUnderConditioning (Optimizer.cpp:381-420):
+    partial Cholesky up to the non-conditioned block + back-substitution of
+    the conditioned update. Returns the updated VariableTables (the caller
+    decides whether to store them on the problem)."""
+    from .structure import apply_masks, full_masks, retract
+
+    v, masks = problem.variables, problem.masks
+    cfgs, datas = tuple(problem.cfgs), tuple(problem.datas)
+    # free dims excluding the conditioned ones
+    m_o = Masks(*[
+        jnp.asarray(a) * (1.0 - jnp.asarray(c))
+        for a, c in zip(masks, cond_masks)
+    ])
+    u_t = apply_masks(cond_t, cond_masks)
+    u_p = jnp.asarray(cond_points) * cond_masks.points
+
+    lg = engine.linearize(cfgs, datas, v, masks)
+    y_r, y_p = engine._hmatvec(lg, v, u_t, u_p)
+    y_r = apply_masks(y_r, m_o)
+    y_p = y_p * m_o.points
+    rs = engine.build_reduced_system(lg, v, m_o, jnp.asarray(lam, v.points.dtype))
+    neg_r = jax.tree_util.tree_map(lambda a: -a, y_r)
+    b = engine.reduce_rhs(lg, v, rs, neg_r, -y_p)
+    x_r, _, _ = engine.pcg_solve(lg, v, rs, b, pcg_iters, pcg_tol)
+    x_l = engine.back_substitute(lg, v, rs, x_r, -y_p)
+
+    step_t = jax.tree_util.tree_map(lambda a, bb: a + bb, u_t, apply_masks(x_r, m_o))
+    step_p = u_p + x_l * m_o.points
+    return retract(v, step_t, step_p, full_masks(v))
 
 
 def marginal_information(problem, entries, **kw):

@@ -144,6 +144,26 @@ def retract(v: VariableTables, t: Tangent, points_step, m: Masks) -> VariableTab
     )
 
 
+def apply_world_transformation(v: VariableTables, Tq, Tt) -> VariableTables:
+    """Rigidly move the world frame: (Tq, Tt) = T_newWorld_oldWorld.
+
+    Reference SingleSessionProblem::applyWorldTransformation
+    (viba/problem/SingleSessionProblem.cpp:523-538): points -> T * p,
+    T_bodyImu_world -> T_bodyImu_world * T^-1, velocities and gravity rotate.
+    """
+    Tq = jnp.asarray(Tq, v.pose_q.dtype)
+    Tt = jnp.asarray(Tt, v.pose_t.dtype)
+    inv_q, inv_t = lie.se3_inverse((Tq, Tt))
+    pq, pt = lie.se3_mul((v.pose_q, v.pose_t), (inv_q[None], inv_t[None]))
+    return v._replace(
+        pose_q=lie.quat_normalize(pq),
+        pose_t=pt,
+        vel=lie.quat_rotate(Tq[None], v.vel),
+        points=lie.se3_apply((Tq[None], Tt[None]), v.points),
+        gravity=lie.quat_rotate(Tq, v.gravity),
+    )
+
+
 def step_to_var_ratios(v: VariableTables, t: Tangent, points_step):
     """|step| / |variable| statistics used by the variables-tolerance stop.
 
