@@ -1,6 +1,7 @@
 """Preprocessing tool (tools/save_observations): keyframing thresholds,
 observation CSV schema, end-to-end stage pipeline on a synthetic session."""
 
+import pytest
 import numpy as np
 
 from visual_inertial_bundle_adjustment_tpu.tools import save_observations as so
@@ -78,3 +79,41 @@ def test_tool_pipeline_end_to_end(tmp_path):
         "--tracks-csv", str(tmp_path / "tracks.csv"),
         "--output", str(tmp_path / "prep"),
     ]))
+
+
+def test_process_vrs_imu_csv_roundtrip(tmp_path):
+    """write_imu_csv output parses through both the native and numpy IMU
+    readers used by load_session (reference ImuDataWriter.cpp:27-41 <->
+    SessionData.cpp:329)."""
+    from visual_inertial_bundle_adjustment_tpu.pipeline import native
+    from visual_inertial_bundle_adjustment_tpu.tools import process_vrs as pv
+
+    rng = np.random.default_rng(0)
+    ts = (np.arange(50) * 1_250_000 + 10**12).astype(np.int64)
+    gyro = rng.normal(size=(50, 3)) * 0.5
+    accel = rng.normal(size=(50, 3)) * 3.0 + np.array([0.0, 0.0, 9.81])
+    fn = tmp_path / "imu_samples_imu-left.csv"
+    pv.write_imu_csv(fn, [(t, 25.0, g, a) for t, g, a in zip(ts, gyro, accel)])
+
+    parsed = native.parse_imu_csv(fn)
+    if parsed is None:
+        arr = np.genfromtxt(fn, delimiter=",", skip_header=1)
+        parsed = arr[:, 0].astype(np.int64), arr[:, 2:5], arr[:, 5:8]
+    t2, g2, a2 = parsed
+    np.testing.assert_array_equal(t2, ts)
+    np.testing.assert_allclose(g2, gyro, atol=1e-7)
+    np.testing.assert_allclose(a2, accel, atol=1e-7)
+
+
+def test_process_vrs_gated_without_sdk(tmp_path):
+    """Without projectaria_tools the tool exits with a clear message instead
+    of a traceback (gating policy shared with save_observations --vrs)."""
+    from visual_inertial_bundle_adjustment_tpu.tools import process_vrs as pv
+
+    try:
+        import projectaria_tools  # noqa: F401
+        pytest.skip("projectaria_tools installed")
+    except ImportError:
+        pass
+    with pytest.raises(SystemExit, match="projectaria_tools"):
+        pv.process_vrs(tmp_path / "x.vrs", tmp_path / "out")
