@@ -27,6 +27,9 @@ def _problem():
 def test_monitor_captures_iterations(tmp_path: pathlib.Path):
     problem = _problem()
     mon = monitoring.Monitor(snapshot_every=2, jsonl_path=str(tmp_path / "m.jsonl"))
+    mon.set_calib_layout(num_cams=1, num_imus=1)
+    mon.set_problem_stats(rigs=int(problem.variables.pose_t.shape[0]),
+                          points=int(problem.variables.points.shape[0]))
     settings = LMSettings(max_iterations=5,
                           iteration_callback=mon.make_callback(problem))
     summary = optimize(problem, settings)
@@ -52,6 +55,13 @@ def test_monitor_captures_iterations(tmp_path: pathlib.Path):
     html = open(out).read()
     assert "cost (log10)" in html and "polyline" in html
     assert "top view" in html
+    # problem stats header + per-window calibration curves
+    # (gui/MonitoringState.h:47-61 parity)
+    assert "rigs:" in html
+    snaps_c = [d for d in mon.iterations if d.calib_curves]
+    if snaps_c:  # tables may be empty when all calib is constant
+        assert any(k.startswith(("imu", "cam")) for k in snaps_c[0].calib_curves)
+        assert "calib:" in html
 
 
 def test_background_runner():

@@ -236,6 +236,18 @@ def main(argv=None):
             from ..utils.monitoring import Monitor
 
             monitor = Monitor(jsonl_path=args.monitor_jsonl)
+            monitor.set_calib_layout(
+                adapter.num_cams, adapter.num_imus,
+                window_ts_sec=(adapter.window_mid_ts - adapter.rig_ts_us[0]) / 1e6,
+            )
+            monitor.set_problem_stats(
+                rigs=adapter.R, windows=adapter.num_windows,
+                cameras=adapter.num_cams, imus=adapter.num_imus,
+                points=int(problem.variables.points.shape[0]),
+                recording_sec=round(
+                    float(adapter.rig_ts_us[-1] - adapter.rig_ts_us[0]) / 1e6, 1
+                ) if adapter.R > 1 else 0.0,
+            )
             settings.iteration_callback = monitor.make_callback(problem)
         summary = optimize(problem, settings)
         if monitor is not None:

@@ -50,12 +50,19 @@ class IterationData:
     # optional snapshots (decimated)
     trajectory: Optional[np.ndarray] = None  # (R', 3) positions
     points: Optional[np.ndarray] = None  # (L', 3)
+    # per-window calibration curves {series name: [value per window]}
+    # (reference RigCalibration, gui/MonitoringState.h:47-61)
+    calib_curves: dict = dataclasses.field(default_factory=dict)
 
     def to_json(self):
         d = dataclasses.asdict(self)
         for k in ("trajectory", "points"):
             if d[k] is not None:
                 d[k] = np.asarray(d[k]).round(4).tolist()
+        d["calib_curves"] = {
+            k: np.asarray(v, float).round(8).tolist()
+            for k, v in d["calib_curves"].items()
+        }
         return d
 
 
@@ -79,6 +86,26 @@ class Monitor:
         self.done = False
         self.summary = None
         self._t0 = time.time()
+        # sensor layout of the calib tables (set_calib_layout); None disables
+        # the per-window calibration curves
+        self._calib_layout = None
+        self.problem_stats = {}
+
+    def set_calib_layout(self, num_cams: int, num_imus: int,
+                         window_ts_sec=None):
+        """Declare how calib-table rows map to sensors: row = w*nSensors+s
+        (pipeline/adapter.py window layout). Enables per-window calibration
+        curves in snapshots (reference RigCalibration temporal-variation
+        plots, gui/MonitoringState.h:47-61)."""
+        self._calib_layout = (int(num_cams), int(num_imus),
+                              None if window_ts_sec is None
+                              else np.asarray(window_ts_sec, float))
+
+    def set_problem_stats(self, **stats):
+        """Reference MonitoringState::setProblemStats (sizes shown in the
+        dashboard header)."""
+        with self._lock:
+            self.problem_stats = dict(stats)
 
     # -- producer side ------------------------------------------------------
 
@@ -103,6 +130,8 @@ class Monitor:
         it.trajectory = traj
         it.points = pts
         it.residual_percentiles = residual_percentiles(problem)
+        if self._calib_layout is not None:
+            it.calib_curves = calib_curves(v, *self._calib_layout)
 
     def publish(self, it: IterationData):
         with self._lock:
@@ -131,6 +160,50 @@ class Monitor:
     def curve(self, field: str):
         with self._lock:
             return [(d.iteration, getattr(d, field)) for d in self.iterations]
+
+
+def calib_curves(v, num_cams: int, num_imus: int, window_ts=None):
+    """Per-window calibration series from the flat calib tables.
+
+    Mirrors the reference GUI's RigCalibration content
+    (gui/MonitoringState.h:47-61): per-IMU accel/gyro bias and time offsets,
+    per-camera focal length and time offset, camera baseline distances. Rows
+    of each table follow the adapter's (window, sensor) layout
+    row = w*nSensors + s (pipeline/adapter.py)."""
+    from ..models import imu as imu_model
+
+    out = {}
+    ic = np.asarray(v.imu_calib)
+    if ic.size and num_imus > 0 and ic.shape[0] % num_imus == 0:
+        W = ic.shape[0] // num_imus
+        for i in range(num_imus):
+            rows = ic[np.arange(W) * num_imus + i]
+            out[f"imu{i} gyro bias [rad/s]"] = np.linalg.norm(
+                rows[:, imu_model.GYRO_BIAS], axis=-1)
+            out[f"imu{i} accel bias [m/s^2]"] = np.linalg.norm(
+                rows[:, imu_model.ACCEL_BIAS], axis=-1)
+            out[f"imu{i} dt ref-gyro [ms]"] = rows[:, imu_model.DT_REF_GYRO] * 1e3
+            out[f"imu{i} dt ref-accel [ms]"] = rows[:, imu_model.DT_REF_ACCEL] * 1e3
+    intr = np.asarray(v.cam_intr)
+    if intr.size and num_cams > 0 and intr.shape[0] % num_cams == 0:
+        W = intr.shape[0] // num_cams
+        for c in range(num_cams):
+            rows = intr[np.arange(W) * num_cams + c]
+            out[f"cam{c} focal [px]"] = rows[:, 0]
+            out[f"cam{c} time offset [ms]"] = rows[:, 16] * 1e3
+            out[f"cam{c} readout [ms]"] = rows[:, 15] * 1e3
+    ext_t = np.asarray(v.cam_extr_t)
+    if ext_t.size and num_cams > 1 and ext_t.shape[0] % num_cams == 0:
+        W = ext_t.shape[0] // num_cams
+        for c1 in range(num_cams):
+            for c2 in range(c1 + 1, num_cams):
+                d = np.linalg.norm(
+                    ext_t[np.arange(W) * num_cams + c1]
+                    - ext_t[np.arange(W) * num_cams + c2], axis=-1)
+                out[f"baseline cam{c1}-cam{c2} [m]"] = d
+    if window_ts is not None:
+        out["_window_ts_sec"] = np.asarray(window_ts, float)
+    return out
 
 
 def residual_percentiles(problem, percentiles=(50, 90, 99)):
@@ -218,6 +291,7 @@ def render_html(monitor: Monitor, path: str, title="VI-BA optimization"):
     with monitor._lock:
         its = list(monitor.iterations)
         summary = monitor.summary
+        pstats = dict(monitor.problem_stats)
     W, H = 460, 240
     panels = []
     if its:
@@ -251,6 +325,31 @@ def render_html(monitor: Monitor, path: str, title="VI-BA optimization"):
                                       np.asarray(snap.trajectory)[:, b],
                                       W, H, "#6fb3ff", logy=False, label="trajectory")
                 panels.append(_panel(name, body, W, H))
+        # per-window calibration curves, grouped by quantity (one curve per
+        # sensor; x axis = window time if known, else window index)
+        csnap = next((d for d in reversed(its) if d.calib_curves), None)
+        if csnap is not None:
+            curves = dict(csnap.calib_curves)
+            ts = curves.pop("_window_ts_sec", None)
+            groups = {}
+            for name, ys in curves.items():
+                quantity = name.split(" ", 1)[-1] if " " in name else name
+                groups.setdefault(quantity, []).append((name, ys))
+            for qi, (quantity, series) in enumerate(sorted(groups.items())):
+                body = ""
+                for si, (name, ys) in enumerate(series):
+                    ys = np.asarray(ys, float)
+                    xs = ts[: len(ys)] if ts is not None and len(ts) >= len(ys) \
+                        else np.arange(len(ys))
+                    body += _svg_polyline(xs, ys, W, H,
+                                          colors[(qi + si) % len(colors)],
+                                          label=name)
+                panels.append(_panel(f"calib: {quantity}", body, W, H))
+    stats_line = ""
+    if pstats:
+        stats_line = ("<p>" + " · ".join(
+            f"{_html.escape(str(k))}: {_html.escape(str(v))}"
+            for k, v in pstats.items()) + "</p>")
     footer = ""
     if summary is not None:
         footer = (f"<p>finished: cost {summary.initial_cost:.6g} → {summary.final_cost:.6g} "
@@ -261,7 +360,7 @@ body{{background:#0d0f12;color:#dde3ea;font-family:system-ui,sans-serif;margin:1
 .panel{{display:inline-block;margin:6px;vertical-align:top}}
 h3{{font-size:13px;font-weight:500;margin:2px 0 4px 2px;color:#9aa7b5}}
 </style></head><body><h2>{_html.escape(title)}</h2>
-{"".join(panels)}{footer}</body></html>"""
+{stats_line}{"".join(panels)}{footer}</body></html>"""
     with open(path, "w") as f:
         f.write(doc)
     return path
