@@ -221,3 +221,104 @@ def test_relative_condensed_factor_reproduces_marginal(problem):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_update_under_conditioning_matches_dense(problem):
+    """Conditioned update: free variables move to the conditional optimum
+    -H_oo^-1 H_oc u of the damped quadratic model (reference
+    Optimizer::updateUnderConditioning, Optimizer.cpp:381-420)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_engine import flatten_tangent, unflatten_tangent
+
+    from visual_inertial_bundle_adjustment_tpu.problem.structure import (
+        full_masks,
+        retract,
+        zero_tangent,
+    )
+
+    lam = 1e-7
+    v = problem.variables
+    with covariance.with_gauge_prior(problem):
+        masks = problem.masks
+        free = (
+            flatten_tangent(
+                zero_tangent(v)._replace(
+                    rig=masks.rig, cam_intr=masks.cam_intr, cam_extr=masks.cam_extr,
+                    imu_calib=masks.imu_calib, imu_extr=masks.imu_extr,
+                    det_bias=masks.det_bias, gravity=masks.gravity,
+                ),
+                np.asarray(masks.points),
+            )
+            > 0.5
+        )
+        # condition rig 3's full 12-dim tangent on a small random update
+        rng = np.random.default_rng(7)
+        u_rig = rng.normal(size=12) * 1e-3
+        cond_t = zero_tangent(v)._replace(
+            rig=jnp.zeros_like(zero_tangent(v).rig).at[3].set(jnp.asarray(u_rig))
+        )
+        cond_masks = masks._replace(
+            rig=jnp.zeros_like(masks.rig).at[3].set(1.0),
+            points=jnp.zeros_like(masks.points),
+            cam_intr=jnp.zeros_like(masks.cam_intr),
+            cam_extr=jnp.zeros_like(masks.cam_extr),
+            imu_calib=jnp.zeros_like(masks.imu_calib),
+            imu_extr=jnp.zeros_like(masks.imu_extr),
+            det_bias=jnp.zeros_like(masks.det_bias),
+            gravity=jnp.zeros_like(masks.gravity),
+        )
+        v_new = covariance.update_under_conditioning(
+            problem, cond_t, jnp.zeros_like(v.points), cond_masks, lam=lam,
+            pcg_iters=1500, pcg_tol=1e-13,
+        )
+
+        # dense expected step
+        Hd, _ = _dense_hessian(problem, lam)
+        u_flat = flatten_tangent(cond_t, np.zeros_like(np.asarray(v.points)))
+        cond_flat = (
+            flatten_tangent(
+                zero_tangent(v)._replace(rig=cond_masks.rig),
+                np.zeros_like(np.asarray(v.points)),
+            )
+            > 0.5
+        )
+        o = free & ~cond_flat
+        y = Hd @ u_flat
+        x_o = np.linalg.solve(Hd[np.ix_(o, o)], -y[o])
+        s = u_flat.copy()
+        s[o] = s[o] + x_o
+        t_exp, tp_exp = unflatten_tangent(v, s)
+        v_exp = retract(v, t_exp, tp_exp, full_masks(v))
+
+    for name in ("pose_t", "vel", "omega", "points", "gravity"):
+        a, b = np.asarray(getattr(v_new, name)), np.asarray(getattr(v_exp, name))
+        scale = max(np.abs(b - np.asarray(getattr(v, name))).max(), 1e-9)
+        np.testing.assert_allclose(a, b, atol=2e-3 * scale, err_msg=name)
+
+
+def test_calib_covariances_blocks():
+    """Per-calibration-window joint covariance blocks over the ENABLED dims
+    only (reference SingleSessionProblem::computeCovariances :66-138)."""
+    s = SyntheticSession(duration=1.6, keyframe_hz=5.0, num_points=30, seed=31,
+                         pixel_noise=0.15)
+    p = build_synthetic_problem(
+        s, BuildOptions(init_pose_noise=0.004, init_point_noise=0.02,
+                        init_vel_noise=0.02, estimate_imu_calib=True,
+                        imu_calib_options=dict(accelBias=True, gyroBias=True)),
+    )
+    optimize(p, LMSettings(max_iterations=10, log=None))
+    out = covariance.calib_covariances(p, "imu_calib", rows=[0], lam=1e-7)
+    cov, dims = out[0]
+    # enabled dims = gyro+accel bias = tangent slots 0..5
+    assert dims == list(range(6))
+    assert cov.shape == (6, 6)
+    np.testing.assert_allclose(cov, cov.T, atol=1e-10 * abs(cov).max())
+    ev = np.linalg.eigvalsh(cov)
+    assert ev.min() > 0
+    # agrees with a direct joint_covariance call over the same entries
+    with covariance.with_gauge_prior(p):
+        direct = covariance.joint_covariance(
+            p, [("imu_calib", 0, d) for d in range(6)], lam=1e-7)
+    np.testing.assert_allclose(cov, direct, atol=1e-8 * abs(direct).max())

@@ -159,10 +159,13 @@ def update_under_conditioning(problem, cond_t, cond_points, cond_masks,
     u_t = apply_masks(cond_t, cond_masks)
     u_p = jnp.asarray(cond_points) * cond_masks.points
 
-    lg = engine.linearize(cfgs, datas, v, masks)
-    y_r, y_p = engine._hmatvec(lg, v, u_t, u_p)
+    # H_oc u needs Jacobian columns for the conditioned dims -> full masks;
+    # the H_oo solve must NOT move them -> re-linearize with them masked out
+    lg_full = engine.linearize(cfgs, datas, v, masks)
+    y_r, y_p = engine._hmatvec(lg_full, v, u_t, u_p)
     y_r = apply_masks(y_r, m_o)
     y_p = y_p * m_o.points
+    lg = engine.linearize(cfgs, datas, v, m_o)
     rs = engine.build_reduced_system(lg, v, m_o, jnp.asarray(lam, v.points.dtype))
     neg_r = jax.tree_util.tree_map(lambda a: -a, y_r)
     b = engine.reduce_rhs(lg, v, rs, neg_r, -y_p)
