@@ -301,7 +301,8 @@ def marginalize_rel_onto_rigs(problem, base_rig, rig_indices, lam=1e-7, **kw):
         entries += [("gravity", 0, d) for d in range(2)]
         Hm = covariance.marginal_information(problem, entries, lam=lam, **kw)
 
-        cfgs, datas = tuple(problem.cfgs), tuple(problem.datas)
+        datas = tuple(problem.datas)
+        cfgs = engine.prune_cfgs(tuple(problem.cfgs), problem.masks)
         v = problem.variables
         lg = engine.linearize(cfgs, datas, v, problem.masks)
         x_r, x_l, *_ = engine.solve_step(
@@ -332,8 +333,9 @@ def marginalize_onto_rigs(problem, rig_indices, lam=1e-7, **kw):
     Hm = covariance.marginal_information(problem, entries, lam=lam, **kw)
 
     # full gradient and solve
-    cfgs, datas = tuple(problem.cfgs), tuple(problem.datas)
+    datas = tuple(problem.datas)
     v, masks = problem.variables, problem.masks
+    cfgs = engine.prune_cfgs(tuple(problem.cfgs), masks)
     lg = engine.linearize(cfgs, datas, v, masks)
     x_r, x_l, *_ = engine.solve_step(
         cfgs, datas, lg, v, masks, jnp.asarray(lam, v.points.dtype),

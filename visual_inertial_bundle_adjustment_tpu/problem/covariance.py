@@ -69,8 +69,9 @@ def solve_columns(problem, entries, lam=1e-9, pcg_iters=800, pcg_tol=1e-12):
     """Columns of H^-1 (reduced part) for the requested tangent entries.
 
     Returns a stacked Tangent with leading dim K = len(entries)."""
-    cfgs, datas = tuple(problem.cfgs), tuple(problem.datas)
+    datas = tuple(problem.datas)
     v, masks = problem.variables, problem.masks
+    cfgs = engine.prune_cfgs(tuple(problem.cfgs), masks)
     lg = engine.linearize(cfgs, datas, v, masks)
     rs = engine.build_reduced_system(lg, v, masks, jnp.asarray(lam, v.points.dtype))
     rhs = _unit_tangents(v, entries)
@@ -161,11 +162,11 @@ def update_under_conditioning(problem, cond_t, cond_points, cond_masks,
 
     # H_oc u needs Jacobian columns for the conditioned dims -> full masks;
     # the H_oo solve must NOT move them -> re-linearize with them masked out
-    lg_full = engine.linearize(cfgs, datas, v, masks)
+    lg_full = engine.linearize(engine.prune_cfgs(cfgs, masks), datas, v, masks)
     y_r, y_p = engine._hmatvec(lg_full, v, u_t, u_p)
     y_r = apply_masks(y_r, m_o)
     y_p = y_p * m_o.points
-    lg = engine.linearize(cfgs, datas, v, m_o)
+    lg = engine.linearize(engine.prune_cfgs(cfgs, m_o), datas, v, m_o)
     rs = engine.build_reduced_system(lg, v, m_o, jnp.asarray(lam, v.points.dtype))
     neg_r = jax.tree_util.tree_map(lambda a: -a, y_r)
     b = engine.reduce_rhs(lg, v, rs, neg_r, -y_p)
