@@ -1,0 +1,107 @@
+"""Dev check: table-resident Pallas segment kernels vs their XLA fallbacks.
+
+Runs on the real TPU (the fallbacks are exact one-hot matmuls, so outputs
+must agree to f32 reduction-order noise). Usage:
+  python tools_dev/check_table_kernels.py
+"""
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visual_inertial_bundle_adjustment_tpu.ops import segments as seg
+
+
+def make_plan(rng, n_rows, n_obs, rb, ts):
+    """Random sorted keys + ragged tile plan with 8-aligned bases
+    (mirrors rcs._tile_plan)."""
+    keys = np.sort(rng.integers(0, n_rows, n_obs))
+    starts, bases = [], []
+    i = 0
+    while i < n_obs:
+        base = int(keys[i]) & ~7
+        end = min(i + ts, int(np.searchsorted(keys, base + rb, side="left")))
+        starts.append(i)
+        bases.append(base)
+        i = end
+    nt = len(starts)
+    npad = nt * ts
+    local = np.zeros(npad, np.int32)
+    w = np.zeros(npad, np.float32)
+    starts_a = np.asarray(starts + [n_obs])
+    for t in range(nt):
+        s, e = starts_a[t], starts_a[t + 1]
+        local[t * ts : t * ts + (e - s)] = keys[s:e] - bases[t]
+        w[t * ts : t * ts + (e - s)] = rng.random(e - s) + 0.1
+    return (jnp.asarray(local), jnp.asarray(w),
+            jnp.asarray(np.asarray(bases, np.int32)), nt)
+
+
+def main():
+    print("backend:", jax.default_backend())
+    rng = np.random.default_rng(0)
+    d, k = 2, 12
+    n_rows, n_obs, rb, ts = 1200, 200_000, 128, 4096
+    local, w, bases, nt = make_plan(rng, n_rows, n_obs, rb, ts)
+    npad = nt * ts
+    J = jnp.asarray(rng.standard_normal((d, k, npad)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((n_rows, k)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((d, npad)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((9, npad)), jnp.float32)
+
+    real = seg.use_pallas
+    def run(fn, *args):
+        out_tpu = jax.jit(fn)(*args)
+        seg.use_pallas = lambda *a: False
+        out_ref = jax.jit(fn)(*args)
+        seg.use_pallas = real
+        return out_tpu, out_ref
+
+    def cmp(name, a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-30
+        err = np.abs(a - b).max() / scale
+        print(f"  {name:28s} rel-err {err:.2e}  {'OK' if err < 1e-5 else 'FAIL'}")
+        assert err < 1e-5, name
+
+    print(f"plan: nt={nt} npad={npad} n_rows={n_rows}")
+
+    (wu_t, y_t), (wu_r, y_r) = run(
+        lambda J, w, x: seg.seg_mv_fused_table(J, w, x, local, bases, nt, ts, rb),
+        J, w, x)
+    cmp("seg_mv_fused_table.wu", wu_t, wu_r)
+    cmp("seg_mv_fused_table.y", y_t, y_r)
+
+    g_t, g_r = run(
+        lambda J, x: seg.seg_mv_gather_table(J, x, local, bases, nt, ts, rb),
+        J, x)
+    cmp("seg_mv_gather_table", g_t, g_r)
+
+    s_t, s_r = run(
+        lambda J, u: seg.seg_mv_scatter_table(J, u, local, bases, nt, ts, rb,
+                                              n_rows), J, u)
+    cmp("seg_mv_scatter_table", s_t, s_r)
+
+    r_t, r_r = run(
+        lambda c: seg.seg_reduce_table(c, local, bases, nt, ts, rb, n_rows), c)
+    cmp("seg_reduce_table", r_t, r_r)
+
+    # dense cross-check of the fused kernel against plain segment ops
+    keys_full = np.zeros(npad, np.int64)
+    keys_full = (np.asarray(local) +
+                 np.repeat(np.asarray(bases), ts)).astype(np.int64)
+    xg = np.asarray(x)[keys_full]
+    uu = np.einsum("dkn,nk->dn", np.asarray(J), xg) * np.asarray(w)[None, :]
+    contrib = np.einsum("dkn,dn->kn", np.asarray(J), uu)
+    y_dense = np.zeros((n_rows, k), np.float64)
+    np.add.at(y_dense, keys_full, contrib.T)
+    cmp("fused.wu vs dense", wu_t, uu)
+    cmp("fused.y vs dense", y_t, y_dense.astype(np.float32))
+    print("all ok")
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,14 @@ def use_pallas(*arrays) -> bool:
     return all(a.dtype != jnp.float64 for a in arrays)
 
 
+def _sel_precision(dtype):
+    """f32 one-hot contractions must run f32-exact on the MXU (DEFAULT would
+    round the selected values to bf16); bf16 operands are exact under DEFAULT
+    (bf16 products, f32 accumulate) and Mosaic rejects fp32 precision on them."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def _oh(loc, rb):
     """(ts, rb) one-hot selection tile from tile-local indices (ts,)."""
     ts = loc.shape[0]
@@ -60,6 +68,7 @@ def _seg_reduce_kernel(loc_ref, c_ref, out_ref):
     out_ref[0] = jax.lax.dot_general(
         oh, c_ref[:], (((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_sel_precision(oh.dtype),
     ).astype(out_ref.dtype)
 
 
@@ -74,6 +83,7 @@ def seg_reduce_partials(contrib, local, nt, ts, rb):
         part = jnp.einsum(
             "tro,dto->trd", oh, contrib.reshape(D, nt, ts),
             preferred_element_type=jnp.float32,
+        precision=_sel_precision(oh.dtype),
         ).astype(contrib.dtype)
         return part
     return pl.pallas_call(
@@ -97,7 +107,8 @@ def _seg_gather_kernel(loc_ref, xt_ref, out_ref):
     rb = xt_ref.shape[1]
     oh = _oh(loc_ref[0, 0], rb).astype(xt_ref.dtype)
     out_ref[:] = jnp.dot(
-        oh, xt_ref[0], preferred_element_type=jnp.float32
+        oh, xt_ref[0], preferred_element_type=jnp.float32,
+        precision=_sel_precision(oh.dtype)
     ).astype(out_ref.dtype)
 
 
@@ -109,7 +120,8 @@ def seg_gather_from_tiles(xt, local, nt, ts, rb):
             jnp.arange(rb, dtype=local.dtype)[None, :, None]
             == local.reshape(nt, ts)[:, None, :]
         ).astype(xt.dtype)
-        out = jnp.einsum("tro,trd->tod", oh, xt, preferred_element_type=jnp.float32)
+        out = jnp.einsum("tro,trd->tod", oh, xt, preferred_element_type=jnp.float32,
+        precision=_sel_precision(oh.dtype))
         return out.reshape(nt * ts, D).astype(xt.dtype)
     return pl.pallas_call(
         _seg_gather_kernel,
@@ -136,6 +148,7 @@ def _mv_fused_kernel(loc_ref, xt_ref, j_ref, w_ref, wu_ref, y_ref):
     xgT = jax.lax.dot_general(
         xt_ref[0], oh, (((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_sel_precision(oh.dtype),
     )
     J = j_ref[:]  # (d, k, ts)
     u = jnp.sum(J * xgT[None, :, :], axis=1)  # (d, ts)
@@ -145,6 +158,7 @@ def _mv_fused_kernel(loc_ref, xt_ref, j_ref, w_ref, wu_ref, y_ref):
     y_ref[0] = jax.lax.dot_general(
         oh, contrib, (((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_sel_precision(oh.dtype),
     ).astype(y_ref.dtype)
 
 
@@ -193,6 +207,7 @@ def _mv_gather_kernel(loc_ref, xt_ref, j_ref, u_ref):
     xgT = jax.lax.dot_general(
         xt_ref[0], oh, (((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_sel_precision(oh.dtype),
     )
     u_ref[:] = jnp.sum(j_ref[:] * xgT[None, :, :], axis=1).astype(u_ref.dtype)
 
@@ -224,6 +239,7 @@ def _mv_scatter_kernel(loc_ref, j_ref, u_ref, y_ref):
     y_ref[0] = jax.lax.dot_general(
         oh, contrib, (((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_sel_precision(oh.dtype),
     ).astype(y_ref.dtype)
 
 
@@ -244,6 +260,227 @@ def seg_mv_scatter(J, u, local, nt, ts, rb):
         out_specs=pl.BlockSpec((1, rb, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nt, rb, k), J.dtype),
     )(local.reshape(nt, 1, ts).astype(jnp.int32), J, u)
+
+
+# ---------------------------------------------------------------------------
+# Table-resident fused kernels: the variable table lives in VMEM for the
+# whole grid; per tile the kernel dynamic-slices rows [base, base+rb) out of
+# it (gather) or accumulates partials back into it (scatter) — the
+# sequential-TPU-grid reduction pattern. This removes the separate XLA
+# gather/scatter ops (gather_tiles / scatter_partials) that bracketed every
+# tile kernel: measured ~1 ms each on v5e for a 2-minute session, i.e. most
+# of the PCG matvec cost. Tile bases must be multiples of 8 (f32 sublane) —
+# rcs.finalize_blocks aligns them.
+# ---------------------------------------------------------------------------
+
+
+def _table_pad(table, rb):
+    """Pad a (n_rows, D) table so any [base, base+rb) slice is in bounds."""
+    n = table.shape[0]
+    npad = ((n + rb + 7) // 8) * 8
+    return jnp.pad(table, ((0, npad - n), (0, 0))), npad
+
+
+def _grid1(nt, *specs, outs):
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=list(specs),
+        out_specs=outs,
+    )
+
+
+def _mv_fused_tbl_kernel(rb, bases_ref, loc_ref, w_ref, x_ref, j_ref,
+                         wu_ref, y_ref):
+    i = pl.program_id(0)
+    base = pl.multiple_of(bases_ref[i], 8)
+
+    @pl.when(i == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    oh = _oh(loc_ref[0, 0], rb).astype(x_ref.dtype)  # (ts, rb)
+    xt = x_ref[pl.ds(base, rb), :]  # (rb, k)
+    xgT = jax.lax.dot_general(  # (k, ts)
+        xt, oh, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_sel_precision(oh.dtype)
+    )
+    J = j_ref[:]  # (d, k, ts)
+    wu = jnp.sum(J * xgT[None, :, :], axis=1) * w_ref[0, 0][None, :]
+    wu_ref[:] = wu.astype(wu_ref.dtype)
+    contrib = jnp.sum(J * wu[:, None, :], axis=0)  # (k, ts)
+    part = jax.lax.dot_general(  # (rb, k)
+        oh, contrib, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_sel_precision(oh.dtype)
+    ).astype(y_ref.dtype)
+    y_ref[pl.ds(base, rb), :] = y_ref[pl.ds(base, rb), :] + part
+
+
+def seg_mv_fused_table(J, w, x_table, local, bases, nt, ts, rb):
+    """Whole rig-side Schur matvec pass with VMEM-resident tables.
+
+    J (d, k, nt*ts), w (nt*ts,), x_table (n_rows, k), tile-local indices
+    (nt*ts,), tile bases (nt,) multiples of 8 ->
+    (wu (d, nt*ts), y (n_rows, k) = segment-sum of J^T w J x).
+    """
+    d, k, _ = J.shape
+    n_rows = x_table.shape[0]
+    if not use_pallas(J):
+        xt = gather_tiles(x_table, _rows_from_bases(bases, nt, rb), nt, rb)
+        wu, part = seg_mv_fused(J, w, xt, local, nt, ts, rb)
+        return wu, scatter_partials(part, _rows_from_bases(bases, nt, rb), n_rows, rb)
+    xp, npad = _table_pad(x_table, rb)
+    wu, y = pl.pallas_call(
+        partial(_mv_fused_tbl_kernel, rb),
+        grid_spec=_grid1(
+            nt,
+            pl.BlockSpec((1, 1, ts), lambda i, b: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ts), lambda i, b: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((npad, k), lambda i, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, k, ts), lambda i, b: (0, 0, i), memory_space=pltpu.VMEM),
+            outs=(
+                pl.BlockSpec((d, ts), lambda i, b: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((npad, k), lambda i, b: (0, 0), memory_space=pltpu.VMEM),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, nt * ts), J.dtype),
+            jax.ShapeDtypeStruct((npad, k), J.dtype),
+        ),
+    )(
+        bases.astype(jnp.int32),
+        local.reshape(nt, 1, ts).astype(jnp.int32),
+        w.reshape(nt, 1, ts),
+        xp,
+        J,
+    )
+    return wu, y[:n_rows]
+
+
+def _mv_scatter_tbl_kernel(rb, bases_ref, loc_ref, u_ref, j_ref, y_ref):
+    i = pl.program_id(0)
+    base = pl.multiple_of(bases_ref[i], 8)
+
+    @pl.when(i == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    oh = _oh(loc_ref[0, 0], rb).astype(j_ref.dtype)
+    contrib = jnp.sum(j_ref[:] * u_ref[:][:, None, :], axis=0)  # (k, ts)
+    part = jax.lax.dot_general(
+        oh, contrib, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_sel_precision(oh.dtype)
+    ).astype(y_ref.dtype)
+    y_ref[pl.ds(base, rb), :] = y_ref[pl.ds(base, rb), :] + part
+
+
+def seg_mv_scatter_table(J, u, local, bases, nt, ts, rb, n_rows):
+    """Segment-sum of J^T u into a (n_rows, k) table (fused scatter)."""
+    d, k, _ = J.shape
+    if not use_pallas(J):
+        part = seg_mv_scatter(J, u, local, nt, ts, rb)
+        return scatter_partials(part, _rows_from_bases(bases, nt, rb), n_rows, rb)
+    npad = ((n_rows + rb + 7) // 8) * 8
+    y = pl.pallas_call(
+        partial(_mv_scatter_tbl_kernel, rb),
+        grid_spec=_grid1(
+            nt,
+            pl.BlockSpec((1, 1, ts), lambda i, b: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, ts), lambda i, b: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, k, ts), lambda i, b: (0, 0, i), memory_space=pltpu.VMEM),
+            outs=pl.BlockSpec((npad, k), lambda i, b: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((npad, k), J.dtype),
+    )(
+        bases.astype(jnp.int32),
+        local.reshape(nt, 1, ts).astype(jnp.int32),
+        u,
+        J,
+    )
+    return y[:n_rows]
+
+
+def _mv_gather_tbl_kernel(rb, bases_ref, loc_ref, x_ref, j_ref, u_ref):
+    i = pl.program_id(0)
+    base = pl.multiple_of(bases_ref[i], 8)
+    oh = _oh(loc_ref[0, 0], rb).astype(x_ref.dtype)
+    xt = x_ref[pl.ds(base, rb), :]
+    xgT = jax.lax.dot_general(
+        xt, oh, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_sel_precision(oh.dtype)
+    )
+    u_ref[:] = jnp.sum(j_ref[:] * xgT[None, :, :], axis=1).astype(u_ref.dtype)
+
+
+def seg_mv_gather_table(J, x_table, local, bases, nt, ts, rb):
+    """u (d, nt*ts) = J @ table rows (fused gather)."""
+    d, k, _ = J.shape
+    if not use_pallas(J):
+        xt = gather_tiles(x_table, _rows_from_bases(bases, nt, rb), nt, rb)
+        return seg_mv_gather(J, xt, local, nt, ts, rb)
+    xp, npad = _table_pad(x_table, rb)
+    return pl.pallas_call(
+        partial(_mv_gather_tbl_kernel, rb),
+        grid_spec=_grid1(
+            nt,
+            pl.BlockSpec((1, 1, ts), lambda i, b: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((npad, k), lambda i, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, k, ts), lambda i, b: (0, 0, i), memory_space=pltpu.VMEM),
+            outs=pl.BlockSpec((d, ts), lambda i, b: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((d, nt * ts), J.dtype),
+    )(
+        bases.astype(jnp.int32),
+        local.reshape(nt, 1, ts).astype(jnp.int32),
+        xp,
+        J,
+    )
+
+
+def _reduce_tbl_kernel(rb, bases_ref, loc_ref, c_ref, y_ref):
+    i = pl.program_id(0)
+    base = pl.multiple_of(bases_ref[i], 8)
+
+    @pl.when(i == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    oh = _oh(loc_ref[0, 0], rb).astype(c_ref.dtype)
+    part = jax.lax.dot_general(
+        oh, c_ref[:], (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_sel_precision(oh.dtype)
+    ).astype(y_ref.dtype)
+    y_ref[pl.ds(base, rb), :] = y_ref[pl.ds(base, rb), :] + part
+
+
+def seg_reduce_table(contrib, local, bases, nt, ts, rb, n_rows):
+    """Segment-sum contrib (D, nt*ts) into a (n_rows, D) table."""
+    D = contrib.shape[0]
+    if not use_pallas(contrib):
+        part = seg_reduce_partials(contrib, local, nt, ts, rb)
+        return scatter_partials(part, _rows_from_bases(bases, nt, rb), n_rows, rb)
+    npad = ((n_rows + rb + 7) // 8) * 8
+    y = pl.pallas_call(
+        partial(_reduce_tbl_kernel, rb),
+        grid_spec=_grid1(
+            nt,
+            pl.BlockSpec((1, 1, ts), lambda i, b: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, ts), lambda i, b: (0, i), memory_space=pltpu.VMEM),
+            outs=pl.BlockSpec((npad, D), lambda i, b: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((npad, D), contrib.dtype),
+    )(
+        bases.astype(jnp.int32),
+        local.reshape(nt, 1, ts).astype(jnp.int32),
+        contrib,
+    )
+    return y[:n_rows]
+
+
+def _rows_from_bases(bases, nt, rb):
+    """XLA-fallback helper: expand (nt,) bases to per-tile row ids (nt*rb,)."""
+    return (bases[:, None].astype(jnp.int32)
+            + jnp.arange(rb, dtype=jnp.int32)[None, :]).reshape(-1)
 
 
 # ---------------------------------------------------------------------------

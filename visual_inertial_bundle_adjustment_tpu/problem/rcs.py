@@ -72,12 +72,14 @@ class BlockInfo:
 def _tile_plan(key_sorted, rb, ts):
     """Ragged tiling of a SORTED key array: returns (slot (n,), base (nt,)).
     slot[i] is the padded position of sorted row i; tiles cut at `ts` rows or
-    when key - base would reach rb (a few hundred searchsorted steps)."""
+    when key - base would reach rb (a few hundred searchsorted steps). Bases
+    are floored to multiples of 8 so the table-resident Pallas kernels can
+    dynamic-slice [base, base+rb) on an f32 sublane boundary."""
     n = len(key_sorted)
     starts, bases = [], []
     i = 0
     while i < n:
-        base = int(key_sorted[i])
+        base = int(key_sorted[i]) & ~7
         end = min(i + ts, int(np.searchsorted(key_sorted, base + rb, side="left")))
         starts.append(i)
         bases.append(base)
@@ -122,6 +124,7 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096):
         new["_rb_local"] = (new["rig"].astype(np.int64) - tile_base).astype(np.int32)
         new["_rb_rows"] = (base[:, None] + np.arange(rb)[None, :]).astype(
             np.int32).reshape(-1)
+        new["_rb_base"] = base.astype(np.int32)
 
         # point grid: a permutation from the rig grid into a point-sorted grid
         pt_full = np.zeros(npad, np.int64)
@@ -146,6 +149,7 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096):
         new["_pt_inv"] = inv.astype(np.int32)
         new["_pt_rows"] = (pbase[:, None] + np.arange(prb)[None, :]).astype(
             np.int32).reshape(-1)
+        new["_pt_base"] = pbase.astype(np.int32)
         problem.datas[bi] = {k: jnp.asarray(v) for k, v in new.items()}
         problem.cfgs[bi] = dataclasses.replace(
             cfg, block_info=BlockInfo(rb, nt, ts, prb, pnt, ts)
@@ -159,19 +163,11 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096):
 # ---------------------------------------------------------------------------
 
 
-def reduce_rows(contrib, local, rows, nt, ts, rb, n_rows):
+def reduce_rows(contrib, local, bases, nt, ts, rb, n_rows):
     """Segment-sum `contrib` (D, Npad) into (n_rows, D): per-tile one-hot
-    matmul (Pallas kernel on TPU, VMEM-resident one-hot — ops/segments.py),
-    then a tiny (nt*rb)-row scatter of the partials."""
-    part = seg.seg_reduce_partials(contrib, local, nt, ts, rb)
-    return seg.scatter_partials(part, rows, n_rows, rb)
-
-
-def gather_rows(table, local, rows, nt, ts, rb):
-    """table (n_rows, D) -> per-observation rows (Npad, D): tiny (nt*rb)-row
-    gather of the addressed slices, then per-tile one-hot matmul."""
-    xt = seg.gather_tiles(table, rows, nt, rb)
-    return seg.seg_gather_from_tiles(xt, local, nt, ts, rb)
+    matmul with the output table resident in VMEM across the whole grid
+    (ops/segments.py seg_reduce_table — no partials scatter)."""
+    return seg.seg_reduce_table(contrib, local, bases, nt, ts, rb, n_rows)
 
 
 def permute_cols(a, idx):
@@ -189,6 +185,8 @@ class VisBatch(NamedTuple):
     rb_local: jnp.ndarray  # (N,)
     rb_rows: jnp.ndarray  # (nt*rb,) addressed rig rows per tile
     pt_rows: jnp.ndarray  # (pnt*prb,) addressed point rows per tile
+    rb_base: jnp.ndarray  # (nt,) 8-aligned rig-row base per tile
+    pt_base: jnp.ndarray  # (pnt,) 8-aligned point-row base per tile
     groups: tuple  # static: non-point group names in lin order
     idx: tuple  # per non-point group (N,) index arrays
     jac: tuple  # per non-point group (d, dim, N)
@@ -204,14 +202,14 @@ class VisBatch(NamedTuple):
 
 jax.tree_util.register_pytree_node(
     VisBatch,
-    lambda b: ((b.w, b.rb_local, b.rb_rows, b.pt_rows, b.idx, b.jac, b.ells,
-                b.J_pt, b.J_pt_po, b.w_po, b.pt_local, b.pt_perm, b.pt_inv,
-                b.pt_idx), (b.info, b.groups)),
+    lambda b: ((b.w, b.rb_local, b.rb_rows, b.pt_rows, b.rb_base, b.pt_base,
+                b.idx, b.jac, b.ells, b.J_pt, b.J_pt_po, b.w_po, b.pt_local,
+                b.pt_perm, b.pt_inv, b.pt_idx), (b.info, b.groups)),
     lambda aux, ch: VisBatch(
         info=aux[0], w=ch[0], rb_local=ch[1], rb_rows=ch[2], pt_rows=ch[3],
-        groups=aux[1], idx=ch[4], jac=ch[5], ells=ch[6], J_pt=ch[7],
-        J_pt_po=ch[8], w_po=ch[9], pt_local=ch[10], pt_perm=ch[11],
-        pt_inv=ch[12], pt_idx=ch[13],
+        rb_base=ch[4], pt_base=ch[5], groups=aux[1], idx=ch[6], jac=ch[7],
+        ells=ch[8], J_pt=ch[9], J_pt_po=ch[10], w_po=ch[11], pt_local=ch[12],
+        pt_perm=ch[13], pt_inv=ch[14], pt_idx=ch[15],
     ),
 )
 
@@ -257,7 +255,8 @@ def _vis_batches(cfgs, datas, lg):
         J_pt_po = permute_cols(J_pt, perm) * data["_pt_w"][None, None, :]
         out.append((VisBatch(
             info=info, w=wv, rb_local=data["_rb_local"], rb_rows=data["_rb_rows"],
-            pt_rows=data["_pt_rows"], groups=tuple(groups),
+            pt_rows=data["_pt_rows"], rb_base=data["_rb_base"],
+            pt_base=data["_pt_base"], groups=tuple(groups),
             idx=tuple(idx), jac=tuple(jac), ells=tuple(ells), J_pt=J_pt,
             J_pt_po=J_pt_po, w_po=wv[perm] * data["_pt_w"],
             pt_local=data["_pt_local"], pt_perm=perm, pt_inv=data["_pt_inv"],
@@ -303,7 +302,7 @@ def _point_blocks_blocked(vis, rest, v, lam):
     H = jnp.zeros((L, 9), v.points.dtype)
     for b in vis:
         A = jnp.einsum("dan,dbn->abn", b.J_pt_po * b.w_po[None, None, :], b.J_pt_po)
-        H = H + reduce_rows(A.reshape(9, -1), b.pt_local, b.pt_rows,
+        H = H + reduce_rows(A.reshape(9, -1), b.pt_local, b.pt_base,
                             b.info.pnt, b.info.pts, b.info.prb, L)
     H = H.reshape(L, 3, 3)
     for lin, w in zip(rest.lins, rest.w):
@@ -335,7 +334,7 @@ def _grad(vis, rest, v):
             contrib = jnp.einsum("dkn,dn->kn", J, wres)
             if group == fct.RIG:
                 g[group] = g[group] + reduce_rows(
-                    contrib, b.rb_local, b.rb_rows, b.info.nt, b.info.ts,
+                    contrib, b.rb_local, b.rb_base, b.info.nt, b.info.ts,
                     b.info.rb, g[group].shape[0])
             elif group == fct.GRAVITY:
                 g[group] = g[group] + jnp.sum(contrib, axis=-1)
@@ -344,7 +343,7 @@ def _grad(vis, rest, v):
                                                        g[group].shape[0])
         # weight applied once (in wres); pads vanish through J_pt_po's mask
         cp = jnp.einsum("dkn,dn->kn", b.J_pt_po, permute_cols(wres, b.pt_perm))
-        gp = gp + reduce_rows(cp, b.pt_local, b.pt_rows, b.info.pnt,
+        gp = gp + reduce_rows(cp, b.pt_local, b.pt_base, b.info.pnt,
                               b.info.pts, b.info.prb, gp.shape[0])
     return Tangent(**g), gp
 
@@ -360,7 +359,7 @@ def _diag(vis, rest, v):
             contrib = jnp.einsum("dkn,dkn->kn", J, J * b.w[None, None, :])
             if group == fct.RIG:
                 d[group] = d[group] + reduce_rows(
-                    contrib, b.rb_local, b.rb_rows, b.info.nt, b.info.ts,
+                    contrib, b.rb_local, b.rb_base, b.info.nt, b.info.ts,
                     b.info.rb, d[group].shape[0])
             elif group == fct.GRAVITY:
                 d[group] = d[group] + jnp.sum(contrib, axis=-1)
@@ -405,7 +404,7 @@ def _precond_blocks_static(vis, rest, v, masks):
                 k = B.shape[0]
                 red = reduce_rows(
                     B.reshape(k * k, -1).astype(jnp.bfloat16),
-                    b.rb_local, b.rb_rows, b.info.nt, b.info.ts, b.info.rb,
+                    b.rb_local, b.rb_base, b.info.nt, b.info.ts, b.info.rb,
                     blocks[group].shape[0])
                 blocks[group] = blocks[group] + red.reshape(-1, k, k).astype(
                     blocks[group].dtype)
@@ -430,7 +429,7 @@ def _precond_finish(asm: "RcsAsm", v, masks, lam, H_ll_inv):
         k = corr.shape[0]
         red = reduce_rows(
             corr.reshape(k * k, -1).astype(jnp.bfloat16),
-            b.rb_local, b.rb_rows, b.info.nt, b.info.ts, b.info.rb,
+            b.rb_local, b.rb_base, b.info.nt, b.info.ts, b.info.rb,
             blocks[fct.RIG].shape[0])
         blocks[fct.RIG] = blocks[fct.RIG] - red.reshape(-1, k, k).astype(
             blocks[fct.RIG].dtype)
@@ -488,10 +487,9 @@ def _vis_u(b: VisBatch, x: Tangent):
     u = None
     for group, idx, J in zip(b.groups, b.idx, b.jac):
         if group == fct.RIG:
-            xt = seg.gather_tiles(getattr(x, group), b.rb_rows, b.info.nt,
-                                  b.info.rb)
-            term = seg.seg_mv_gather(J, xt, b.rb_local, b.info.nt, b.info.ts,
-                                     b.info.rb)
+            term = seg.seg_mv_gather_table(J, getattr(x, group), b.rb_local,
+                                           b.rb_base, b.info.nt, b.info.ts,
+                                           b.info.rb)
             u = term if u is None else u + term
             continue
         elif group == fct.GRAVITY:
@@ -507,10 +505,9 @@ def _vis_scatter(b: VisBatch, y: dict, wu):
     """y_g += J_g^T wu for non-point groups."""
     for group, idx, J, ell in zip(b.groups, b.idx, b.jac, b.ells):
         if group == fct.RIG:
-            part = seg.seg_mv_scatter(J, wu, b.rb_local, b.info.nt, b.info.ts,
-                                      b.info.rb)
-            y[group] = y[group] + seg.scatter_partials(
-                part, b.rb_rows, y[group].shape[0], b.info.rb)
+            y[group] = y[group] + seg.seg_mv_scatter_table(
+                J, wu, b.rb_local, b.rb_base, b.info.nt, b.info.ts,
+                b.info.rb, y[group].shape[0])
             continue
         contrib = jnp.einsum("dkn,dn->kn", J, wu)
         if group == fct.GRAVITY:
@@ -520,12 +517,11 @@ def _vis_scatter(b: VisBatch, y: dict, wu):
     return y
 
 
-def _pt_reduce(b: VisBatch, wu):
-    """W^T-side point partial: wu (d, N) rig order -> (L-rows summand)."""
+def _pt_reduce(b: VisBatch, wu, n_rows):
+    """W^T-side point summand: wu (d, N) rig order -> (n_rows, 3) table."""
     u_po = permute_cols(wu, b.pt_perm)  # (d, Np); pads masked inside J_pt_po
-    part = seg.seg_mv_scatter(b.J_pt_po, u_po, b.pt_local, b.info.pnt,
-                              b.info.pts, b.info.prb)
-    return part
+    return seg.seg_mv_scatter_table(b.J_pt_po, u_po, b.pt_local, b.pt_base,
+                                    b.info.pnt, b.info.pts, b.info.prb, n_rows)
 
 
 def w_transpose_x(rs: RcsSystem, v, x: Tangent):
@@ -533,16 +529,14 @@ def w_transpose_x(rs: RcsSystem, v, x: Tangent):
     t = jnp.zeros_like(v.points)
     for b in rs.vis:
         wu = _vis_u(b, x) * b.w[None, :]
-        part = _pt_reduce(b, wu)
-        t = t + seg.scatter_partials(part, b.pt_rows, t.shape[0], b.info.prb)
+        t = t + _pt_reduce(b, wu, t.shape[0])
     return t
 
 
 def _pt_expand(b: VisBatch, yl):
     """u2 (d, N) rig order = w * permute_back(J_pt_po @ gathered y_l)."""
-    yt = seg.gather_tiles(yl, b.pt_rows, b.info.pnt, b.info.prb)
-    u2_po = seg.seg_mv_gather(b.J_pt_po, yt, b.pt_local, b.info.pnt,
-                              b.info.pts, b.info.prb)
+    u2_po = seg.seg_mv_gather_table(b.J_pt_po, yl, b.pt_local, b.pt_base,
+                                    b.info.pnt, b.info.pts, b.info.prb)
     return permute_cols(u2_po, b.pt_inv) * b.w[None, :]
 
 
@@ -566,16 +560,14 @@ def matvec(rs: RcsSystem, v, x: Tangent) -> Tangent:
     for b in rs.vis:
         if b.groups == (fct.RIG,):
             (J,) = b.jac
-            xt = seg.gather_tiles(x.rig, b.rb_rows, b.info.nt, b.info.rb)
-            wu, part = seg.seg_mv_fused(J, b.w, xt, b.rb_local, b.info.nt,
-                                        b.info.ts, b.info.rb)
-            y[fct.RIG] = y[fct.RIG] + seg.scatter_partials(
-                part, b.rb_rows, y[fct.RIG].shape[0], b.info.rb)
+            wu, y_tab = seg.seg_mv_fused_table(
+                J, b.w, x.rig, b.rb_local, b.rb_base, b.info.nt, b.info.ts,
+                b.info.rb)
+            y[fct.RIG] = y[fct.RIG] + y_tab
         else:
             wu = _vis_u(b, x) * b.w[None, :]
             y = _vis_scatter(b, y, wu)
-        ppart = _pt_reduce(b, wu)
-        t = t + seg.scatter_partials(ppart, b.pt_rows, t.shape[0], b.info.prb)
+        t = t + _pt_reduce(b, wu, t.shape[0])
     hx_rest, _ = engine._hmatvec(
         engine.LinearizedGraph(rs.rest.lins, rs.rest.w, 0.0, (), (), 0, 0),
         v, x, jnp.zeros_like(v.points))
