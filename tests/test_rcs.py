@@ -99,6 +99,62 @@ def test_blocked_solve_matches_generic():
     np.testing.assert_allclose(float(out_a[2]), float(out_b[2]), rtol=1e-6)
 
 
+def _split_first_visual_batch(p, n_small=150):
+    """Split the first visual batch into (small, rest) so the small one stays
+    below the blocking threshold — a mixed blocked/generic problem, as happens
+    with per-camera batches of very different sizes or base-map factors."""
+    import numpy as np
+
+    for i, cfg in enumerate(p.cfgs):
+        if cfg.kind in ("visual", "rs_visual"):
+            data = p.datas[i]
+            small = {k: np.asarray(v)[:n_small] for k, v in data.items()}
+            big = {k: np.asarray(v)[n_small:] for k, v in data.items()}
+            p.datas[i] = big
+            p.cfgs.insert(i + 1, dataclasses.replace(cfg))
+            p.datas.insert(i + 1, small)
+            p._jits = None
+            return p
+    raise AssertionError("no visual batch")
+
+
+def test_blocked_solve_mixed_generic_batch():
+    """A small visual batch left generic (below the blocking threshold) must
+    still contribute its Schur cross terms W = H_rl: the blocked solution has
+    to satisfy the generic engine's damped Schur system."""
+    pa = _problem()
+    pb = _problem()
+    pa.use_blocked_engine = False
+    _split_first_visual_batch(pa)
+    _split_first_visual_batch(pb)
+    rcs.finalize_blocks(pb, rb=8, prb=16, ts=64)
+    blocked_flags = [bool(getattr(c, "block_info", None)) for c in pb.cfgs]
+    assert any(blocked_flags) and not all(
+        blocked_flags[i] for i, c in enumerate(pb.cfgs)
+        if c.kind in ("visual", "rs_visual"))
+    ka = pa._build()
+    kb = pb._build()
+
+    lam = jnp.asarray(1e-4)
+    lg_a = ka[0](tuple(pa.datas), pa.variables, pa.masks, None)
+    lg_b = kb[0](tuple(pb.datas), pb.variables, pb.masks, None)
+    np.testing.assert_allclose(float(lg_a.cost), float(lg_b.cost), rtol=1e-12)
+
+    asm_b = kb[6](tuple(pb.datas), lg_b, pb.variables, pb.masks)
+    out_b = kb[1](asm_b, tuple(pb.datas), lg_b, pb.variables, pb.masks, lam,
+                  400, 1e-13)
+    xb_r = out_b[0]
+
+    rs_a = engine.build_reduced_system(lg_a, pa.variables, pa.masks, lam,
+                                       precond_blocks=False)
+    g_r, g_l = engine._accumulate_grad(lg_a, pa.variables)
+    b = engine.reduce_rhs(lg_a, pa.variables, rs_a, g_r, g_l)
+    r = jax.tree_util.tree_map(
+        jnp.subtract, b, engine.reduced_matvec(lg_a, pa.variables, rs_a, xb_r))
+    rel = float(jnp.sqrt(t_dot(r, r) / t_dot(b, b)))
+    assert rel < 1e-6, rel
+
+
 def test_blocked_optimize_converges_same():
     pa = _problem()
     pb = _problem()

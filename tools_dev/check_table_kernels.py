@@ -89,6 +89,60 @@ def main():
         lambda c: seg.seg_reduce_table(c, local, bases, nt, ts, rb, n_rows), c)
     cmp("seg_reduce_table", r_t, r_r)
 
+    # single-pass Schur kernels (rig grid with bounded point windows)
+    prb2 = 256
+    pt_keys = np.minimum(
+        (np.asarray(local) + np.repeat(np.asarray(bases), ts)) // 8,
+        n_rows // 8 - 1).astype(np.int64)  # point ids correlated with rig ids
+    n_pts = int(pt_keys.max()) + 1
+    base2 = []
+    for t in range(nt):
+        seg_keys = pt_keys[t * ts : (t + 1) * ts][np.asarray(w)[t * ts : (t + 1) * ts] > 0]
+        base2.append(int(seg_keys.min()) & ~7 if len(seg_keys) else 0)
+    base2 = np.asarray(base2, np.int32)
+    span = max(int((pt_keys[t * ts : (t + 1) * ts].max()) - base2[t]) + 1
+               for t in range(nt))
+    assert span <= prb2, (span, prb2)
+    ploc = (pt_keys - np.repeat(base2.astype(np.int64), ts)).astype(np.int32)
+    ploc[np.asarray(w) <= 0] = 0
+    ploc_j = jnp.asarray(ploc)
+    Jp = jnp.asarray(rng.standard_normal((d, 3, npad)), jnp.float32)
+    zt = jnp.asarray(rng.standard_normal((nt, prb2, 3)), jnp.float32)
+
+    (yd_t, tp_t), (yd_r, tp_r) = run(
+        lambda J, Jp, w, x: seg.seg_schur_down(
+            J, Jp, w, local, ploc_j, x, bases, nt, ts, rb, prb2),
+        J, Jp, w, x)
+    cmp("seg_schur_down.y", yd_t, yd_r)
+    cmp("seg_schur_down.tpart", tp_t, tp_r)
+
+    yu_t, yu_r = run(
+        lambda J, Jp, w, z: seg.seg_schur_up(
+            J, Jp, w, local, ploc_j, z, bases, nt, ts, rb, prb2, n_rows),
+        J, Jp, w, zt)
+    cmp("seg_schur_up", yu_t, yu_r)
+
+    # dense cross-checks of the Schur kernels
+    keys_dense = (np.asarray(local) +
+                  np.repeat(np.asarray(bases), ts)).astype(np.int64)
+    xg_d = np.asarray(x)[keys_dense]
+    wu_d = np.einsum("dkn,nk->dn", np.asarray(J), xg_d) * np.asarray(w)[None, :]
+    y_d = np.zeros((n_rows, k), np.float64)
+    np.add.at(y_d, keys_dense, np.einsum("dkn,dn->kn", np.asarray(J), wu_d).T)
+    cmp("schur_down.y vs dense", yd_t, y_d.astype(np.float32))
+    tp_d = np.zeros((n_pts + prb2, 3), np.float64)
+    np.add.at(tp_d, pt_keys, np.einsum("dkn,dn->kn", np.asarray(Jp), wu_d).T)
+    tp_scat = np.zeros_like(tp_d)
+    rows2 = (base2[:, None] + np.arange(prb2)[None, :]).reshape(-1)
+    np.add.at(tp_scat, rows2, np.asarray(tp_t).reshape(-1, 3))
+    cmp("schur_down.t vs dense", tp_scat[:n_pts], tp_d[:n_pts])
+    zg_d = np.asarray(zt).reshape(-1, 3)[
+        ploc + np.repeat(np.arange(nt) * prb2, ts)]
+    wu2_d = np.einsum("dkn,nk->dn", np.asarray(Jp), zg_d) * np.asarray(w)[None, :]
+    yu_d = np.zeros((n_rows, k), np.float64)
+    np.add.at(yu_d, keys_dense, np.einsum("dkn,dn->kn", np.asarray(J), wu2_d).T)
+    cmp("schur_up vs dense", yu_t, yu_d.astype(np.float32))
+
     # dense cross-check of the fused kernel against plain segment ops
     keys_full = np.zeros(npad, np.int64)
     keys_full = (np.asarray(local) +

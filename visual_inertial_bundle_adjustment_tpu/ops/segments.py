@@ -484,6 +484,230 @@ def _rows_from_bases(bases, nt, rb):
 
 
 # ---------------------------------------------------------------------------
+# Single-pass Schur matvec kernels on the RIG grid. When every rig tile's
+# observed landmark ids fall in a bounded window (rcs.finalize_blocks checks
+# and records prb2), the whole Schur-complement matvec
+#   y  = H_rr x           (rig side)
+#   t  = W^T x            (landmark side)           [down]
+#   y -= W (H_ll^-1 t)                              [up, after the 3x3 solves]
+# runs on the rig-sorted grid alone: no point-sorted J copy, no rig<->point
+# column permutes (measured ~8 ms of a ~10 ms matvec on v5e). Each kernel
+# reads the J blocks exactly once; the observation axis is chunked so the
+# one-hot tiles stay ~2 MB of VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _schur_chunk(ts, rb, nh):
+    """Largest power-of-two chunk of the observation axis keeping the one-hot
+    tiles (tsc x (rb + 128 + nh) f32) around 4 MB of VMEM."""
+    tsc = ts
+    while tsc > 256 and tsc * (rb + 128 + nh) > 1024 * 1024:
+        tsc //= 2
+    return tsc
+
+
+def _hi_lo(ploc, nh):
+    """Split window-local point indices into (hi one-hot (tsc, nh) f32-ish
+    bool, lo indices) for the hierarchical selection id = hi*128 + lo."""
+    lo = jnp.bitwise_and(ploc, 127)
+    hi = jnp.right_shift(ploc, 7)
+    return hi, lo
+
+
+def _schur_down_kernel(rb, nh, rbases_ref, rloc_ref, ploc_ref, w_ref,
+                       x_ref, jr_ref, jp_ref, y_ref, tp_ref):
+    i, c = pl.program_id(0), pl.program_id(1)
+    base = pl.multiple_of(rbases_ref[i], 8)
+
+    @pl.when((i == 0) & (c == 0))
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    @pl.when(c == 0)
+    def _():
+        tp_ref[:] = jnp.zeros_like(tp_ref)
+
+    ohr = _oh(rloc_ref[0, 0], rb).astype(x_ref.dtype)  # (tsc, rb)
+    xt = x_ref[pl.ds(base, rb), :]  # (rb, k)
+    xgT = jax.lax.dot_general(  # (k, tsc)
+        xt, ohr, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_sel_precision(ohr.dtype))
+    Jr = jr_ref[:]  # (d, k, tsc)
+    wu = jnp.sum(Jr * xgT[None, :, :], axis=1) * w_ref[0, 0][None, :]
+    contrib_r = jnp.sum(Jr * wu[:, None, :], axis=0)  # (k, tsc)
+    part = jax.lax.dot_general(  # (rb, k)
+        ohr, contrib_r, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_sel_precision(ohr.dtype)).astype(y_ref.dtype)
+    y_ref[pl.ds(base, rb), :] = y_ref[pl.ds(base, rb), :] + part
+    # hierarchical point scatter: id = hi*128 + lo. M[:, j*nh+h] =
+    # ohhi[:, h] * contrib_p[j], then one (tsc,128)-wide selection dot
+    # P = M^T ohlo gives P[j*nh+h, l] = sum over obs with (hi, lo)==(h, l).
+    hi, lo = _hi_lo(ploc_ref[0, 0], nh)
+    ohlo = _oh(lo, 128).astype(x_ref.dtype)  # (tsc, 128)
+    ohhi = _oh(hi, nh).astype(x_ref.dtype)  # (tsc, nh)
+    contrib_p = jnp.sum(jp_ref[:] * wu[:, None, :], axis=0)  # (3, tsc)
+    M = jnp.concatenate(
+        [ohhi * contrib_p[j][:, None] for j in range(3)], axis=1)
+    tp_ref[0] = tp_ref[0] + jax.lax.dot_general(  # (3*nh, 128)
+        M, ohlo, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_sel_precision(ohlo.dtype)).astype(tp_ref.dtype)
+
+
+def seg_schur_down(J_r, J_p, w, rig_local, pt_local, x_table, r_bases,
+                   nt, ts, rb, prb2):
+    """(y = segment-sum_rig of J_r^T w J_r x,  tpart (nt, prb2, 3) point
+    partials of J_p^T w J_r x) in one pass over the rig grid."""
+    d, k, _ = J_r.shape
+    n_rows = x_table.shape[0]
+    if not use_pallas(J_r):
+        xg = seg_gather_from_tiles(
+            gather_tiles(x_table, _rows_from_bases(r_bases, nt, rb), nt, rb),
+            rig_local, nt, ts, rb)  # (N, k)
+        wu = jnp.einsum("dkn,nk->dn", J_r, xg) * w[None, :]
+        y = seg_mv_scatter_table(J_r, wu, rig_local, r_bases, nt, ts, rb,
+                                 n_rows)
+        contrib_p = jnp.einsum("dkn,dn->kn", J_p, wu)
+        return y, seg_reduce_partials(contrib_p, pt_local, nt, ts, prb2)
+    nh = prb2 // 128
+    tsc = _schur_chunk(ts, rb, nh)
+    nc = ts // tsc
+    xp, npad = _table_pad(x_table, rb)
+    y, tpart = pl.pallas_call(
+        partial(_schur_down_kernel, rb, nh),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt, nc),
+            in_specs=[
+                pl.BlockSpec((1, 1, tsc), lambda i, c, b: (i, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tsc), lambda i, c, b: (i, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tsc), lambda i, c, b: (i, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((npad, k), lambda i, c, b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, k, tsc), lambda i, c, b: (0, 0, i * (ts // tsc) + c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, 3, tsc), lambda i, c, b: (0, 0, i * (ts // tsc) + c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((npad, k), lambda i, c, b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3 * nh, 128), lambda i, c, b: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((npad, k), J_r.dtype),
+            jax.ShapeDtypeStruct((nt, 3 * nh, 128), J_r.dtype),
+        ),
+    )(
+        r_bases.astype(jnp.int32),
+        rig_local.reshape(nt, 1, ts).astype(jnp.int32),
+        pt_local.reshape(nt, 1, ts).astype(jnp.int32),
+        w.reshape(nt, 1, ts),
+        xp,
+        J_r,
+        J_p,
+    )
+    # (nt, 3*nh, 128): [j*nh+h, l] -> (nt, prb2, 3): [h*128+l, j]
+    tpart = (tpart.reshape(nt, 3, nh, 128)
+             .transpose(0, 2, 3, 1).reshape(nt, prb2, 3))
+    return y[:n_rows], tpart
+
+
+def _schur_up_kernel(rb, nh, rbases_ref, rloc_ref, ploc_ref, w_ref,
+                     z_ref, jr_ref, jp_ref, y_ref):
+    i, c = pl.program_id(0), pl.program_id(1)
+    base = pl.multiple_of(rbases_ref[i], 8)
+
+    @pl.when((i == 0) & (c == 0))
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    # hierarchical point gather: G = ohlo z^T gives G[n, j*nh+h] =
+    # z[hi(n)*128+lo(n), j] for every candidate hi=h; the nh-way ohhi
+    # contraction picks the right one on the VPU.
+    hi, lo = _hi_lo(ploc_ref[0, 0], nh)
+    ohlo = _oh(lo, 128).astype(z_ref.dtype)  # (tsc, 128)
+    ohhi = _oh(hi, nh)  # (tsc, nh) bool
+    G = jax.lax.dot_general(  # (tsc, 3*nh)
+        ohlo, z_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_sel_precision(ohlo.dtype))
+    Jp = jp_ref[:]  # (d, 3, tsc)
+    w = w_ref[0, 0]
+    u2 = jnp.zeros((Jp.shape[0], lo.shape[0]), G.dtype)  # (d, tsc)
+    for j in range(3):
+        zg_j = jnp.sum(
+            jnp.where(ohhi, G[:, j * nh:(j + 1) * nh], 0.0), axis=1)
+        u2 = u2 + Jp[:, j, :] * zg_j[None, :]
+    wu2 = u2 * w[None, :]
+    contrib = jnp.sum(jr_ref[:] * wu2[:, None, :], axis=0)  # (k, tsc)
+    ohr = _oh(rloc_ref[0, 0], rb).astype(z_ref.dtype)
+    part = jax.lax.dot_general(
+        ohr, contrib, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_sel_precision(ohr.dtype)).astype(y_ref.dtype)
+    y_ref[pl.ds(base, rb), :] = y_ref[pl.ds(base, rb), :] + part
+
+
+def seg_schur_up(J_r, J_p, w, rig_local, pt_local, z_tiles, r_bases,
+                 nt, ts, rb, prb2, n_rows):
+    """y (n_rows, k) = segment-sum_rig of J_r^T w J_p z over the rig grid,
+    z gathered from the per-tile point windows (z_tiles (nt, prb2, 3))."""
+    d, k, _ = J_r.shape
+    if not use_pallas(J_r):
+        zg = seg_gather_from_tiles(z_tiles, pt_local, nt, ts, prb2)  # (N, 3)
+        u2 = jnp.einsum("dkn,nk->dn", J_p, zg) * w[None, :]
+        return seg_mv_scatter_table(J_r, u2, rig_local, r_bases, nt, ts, rb,
+                                    n_rows)
+    nh = prb2 // 128
+    tsc = _schur_chunk(ts, rb, nh)
+    nc = ts // tsc
+    npad = ((n_rows + rb + 7) // 8) * 8
+    # (nt, prb2, 3): [h*128+l, j] -> (nt, 3*nh, 128): [j*nh+h, l]
+    zr = (z_tiles.reshape(nt, nh, 128, 3)
+          .transpose(0, 3, 1, 2).reshape(nt, 3 * nh, 128))
+    y = pl.pallas_call(
+        partial(_schur_up_kernel, rb, nh),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt, nc),
+            in_specs=[
+                pl.BlockSpec((1, 1, tsc), lambda i, c, b: (i, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tsc), lambda i, c, b: (i, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tsc), lambda i, c, b: (i, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3 * nh, 128), lambda i, c, b: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, k, tsc), lambda i, c, b: (0, 0, i * (ts // tsc) + c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, 3, tsc), lambda i, c, b: (0, 0, i * (ts // tsc) + c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((npad, k), lambda i, c, b: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((npad, k), J_r.dtype),
+    )(
+        r_bases.astype(jnp.int32),
+        rig_local.reshape(nt, 1, ts).astype(jnp.int32),
+        pt_local.reshape(nt, 1, ts).astype(jnp.int32),
+        w.reshape(nt, 1, ts),
+        zr,
+        J_r,
+        J_p,
+    )
+    return y[:n_rows]
+
+
+# ---------------------------------------------------------------------------
 # Partials <-> global rows (tiny XLA gather/scatter over nt*rb rows)
 # ---------------------------------------------------------------------------
 

@@ -67,6 +67,12 @@ class BlockInfo:
     prb: int  # point rows addressable per tile
     pnt: int  # number of point tiles
     pts: int  # observations per point tile
+    # width of the per-RIG-tile point window (0 = unbounded, single-pass
+    # matvec unavailable): on sequential recordings point ids are created in
+    # time order, so the landmarks observed by 128 consecutive rigs span a
+    # bounded id range — the whole Schur matvec then runs on the rig grid
+    # alone with no rig<->point permutes (segments.seg_schur_down/up)
+    prb2: int = 0
 
 
 def _tile_plan(key_sorted, rb, ts):
@@ -92,7 +98,8 @@ def _tile_plan(key_sorted, rb, ts):
     return slot, np.asarray(bases, np.int64), nt
 
 
-def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096):
+def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096,
+                    prb2_cap: int = 4096):
     """Reorder visual-family batches by rig, lay them out in ragged tiles,
     and attach the point-grid permutation. Mutates problem.{cfgs,datas}
     (host, one-time — the TPU analog of BaSpaCho's symbolic analysis)."""
@@ -126,9 +133,32 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096):
             np.int32).reshape(-1)
         new["_rb_base"] = base.astype(np.int32)
 
-        # point grid: a permutation from the rig grid into a point-sorted grid
+        # per-rig-tile point windows for the single-pass matvec: point ids
+        # observed within one rig tile usually span a bounded range (tracks
+        # live 1-2 s and ids are assigned in time order); if the widest tile
+        # stays under prb2_cap the matvec never leaves the rig grid
         pt_full = np.zeros(npad, np.int64)
         pt_full[slot] = pt[order]
+        pt_tiles = pt_full.reshape(nt, ts)
+        pad_tiles = pad.reshape(nt, ts) > 0.5
+        big = np.where(pad_tiles, np.int64(np.iinfo(np.int64).max), pt_tiles)
+        small = np.where(pad_tiles, np.int64(-1), pt_tiles)
+        pmin = big.min(axis=1)
+        pmax = small.max(axis=1)
+        base2 = (pmin & ~7).astype(np.int64)
+        span = int((pmax - base2).max()) + 1
+        prb2 = 128
+        while prb2 < span:
+            prb2 *= 2
+        if prb2 <= prb2_cap:
+            loc2 = pt_full - base2.repeat(ts)
+            loc2[pad.reshape(-1) > 0.5] = 0
+            new["_rg_pt_local"] = loc2.astype(np.int32)
+            new["_rg_pt_base"] = base2.astype(np.int32)
+            new["_rg_pt_rows"] = (base2[:, None] + np.arange(prb2)[None, :]
+                                  ).astype(np.int32).reshape(-1)
+        else:
+            prb2 = 0
         real = np.nonzero(pad < 0.5)[0]
         porder = np.argsort(pt_full[real], kind="stable")
         real_idx = real[porder]
@@ -152,7 +182,7 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096):
         new["_pt_base"] = pbase.astype(np.int32)
         problem.datas[bi] = {k: jnp.asarray(v) for k, v in new.items()}
         problem.cfgs[bi] = dataclasses.replace(
-            cfg, block_info=BlockInfo(rb, nt, ts, prb, pnt, ts)
+            cfg, block_info=BlockInfo(rb, nt, ts, prb, pnt, ts, prb2)
         )
     problem._jits = None
     return problem
@@ -187,6 +217,9 @@ class VisBatch(NamedTuple):
     pt_rows: jnp.ndarray  # (pnt*prb,) addressed point rows per tile
     rb_base: jnp.ndarray  # (nt,) 8-aligned rig-row base per tile
     pt_base: jnp.ndarray  # (pnt,) 8-aligned point-row base per tile
+    rg_pt_local: jnp.ndarray  # (N,) point index within the rig tile's window (or None)
+    rg_pt_base: jnp.ndarray  # (nt,) 8-aligned point-window base per RIG tile (or None)
+    rg_pt_rows: jnp.ndarray  # (nt*prb2,) addressed point rows per rig tile (or None)
     groups: tuple  # static: non-point group names in lin order
     idx: tuple  # per non-point group (N,) index arrays
     jac: tuple  # per non-point group (d, dim, N)
@@ -203,32 +236,46 @@ class VisBatch(NamedTuple):
 jax.tree_util.register_pytree_node(
     VisBatch,
     lambda b: ((b.w, b.rb_local, b.rb_rows, b.pt_rows, b.rb_base, b.pt_base,
+                b.rg_pt_local, b.rg_pt_base, b.rg_pt_rows,
                 b.idx, b.jac, b.ells, b.J_pt, b.J_pt_po, b.w_po, b.pt_local,
                 b.pt_perm, b.pt_inv, b.pt_idx), (b.info, b.groups)),
     lambda aux, ch: VisBatch(
         info=aux[0], w=ch[0], rb_local=ch[1], rb_rows=ch[2], pt_rows=ch[3],
-        rb_base=ch[4], pt_base=ch[5], groups=aux[1], idx=ch[6], jac=ch[7],
-        ells=ch[8], J_pt=ch[9], J_pt_po=ch[10], w_po=ch[11], pt_local=ch[12],
-        pt_perm=ch[13], pt_inv=ch[14], pt_idx=ch[15],
+        rb_base=ch[4], pt_base=ch[5], rg_pt_local=ch[6], rg_pt_base=ch[7],
+        rg_pt_rows=ch[8], groups=aux[1], idx=ch[9], jac=ch[10],
+        ells=ch[11], J_pt=ch[12], J_pt_po=ch[13], w_po=ch[14], pt_local=ch[15],
+        pt_perm=ch[16], pt_inv=ch[17], pt_idx=ch[18],
     ),
 )
 
 
 def _split(cfgs, lg):
-    """(visual (cfg, lin, w) triples, rest LinearizedGraph)."""
-    vis, rest_lins, rest_w = [], [], []
+    """(visual (cfg, lin, w) triples, rest graph, point-coupled rest graph).
+
+    Any non-blocked batch that references landmarks (small visual batches
+    below the blocking threshold, multi-session base-map factors) must still
+    contribute to the Schur cross terms W = H_rl — rest_pt carries exactly
+    those lins so matvec/w_transpose_x/w_y can add their coupling."""
+    vis, rest_lins, rest_w, pt_lins, pt_w = [], [], [], [], []
     for cfg, lin, w in zip(cfgs, lg.lins, lg.w):
         if getattr(cfg, "block_info", None):
             vis.append((cfg, lin, w))
         else:
             rest_lins.append(lin)
             rest_w.append(w)
+            if fct.POINTS in lin.groups:
+                pt_lins.append(lin)
+                pt_w.append(w)
     rest = engine.LinearizedGraph(
         lins=tuple(rest_lins), w=tuple(rest_w), cost=lg.cost,
         stored_cost=(), valid0=(), num_invalid=lg.num_invalid,
         num_optional=lg.num_optional,
     )
-    return vis, rest
+    rest_pt = engine.LinearizedGraph(
+        lins=tuple(pt_lins), w=tuple(pt_w), cost=0.0, stored_cost=(),
+        valid0=(), num_invalid=0, num_optional=0,
+    )
+    return vis, rest, rest_pt
 
 
 def _vis_batches(cfgs, datas, lg):
@@ -256,7 +303,9 @@ def _vis_batches(cfgs, datas, lg):
         out.append((VisBatch(
             info=info, w=wv, rb_local=data["_rb_local"], rb_rows=data["_rb_rows"],
             pt_rows=data["_pt_rows"], rb_base=data["_rb_base"],
-            pt_base=data["_pt_base"], groups=tuple(groups),
+            pt_base=data["_pt_base"], rg_pt_local=data.get("_rg_pt_local"),
+            rg_pt_base=data.get("_rg_pt_base"),
+            rg_pt_rows=data.get("_rg_pt_rows"), groups=tuple(groups),
             idx=tuple(idx), jac=tuple(jac), ells=tuple(ells), J_pt=J_pt,
             J_pt_po=J_pt_po, w_po=wv[perm] * data["_pt_w"],
             pt_local=data["_pt_local"], pt_perm=perm, pt_inv=data["_pt_inv"],
@@ -277,6 +326,7 @@ class RcsAsm(NamedTuple):
 
     vis: tuple  # tuple[VisBatch]
     rest: object  # LinearizedGraph of small batches
+    rest_pt: object  # LinearizedGraph: point-coupled small batches (W terms)
     H_ll0: jnp.ndarray  # (L, 3, 3) UNdamped landmark blocks
     diag_r: Tangent  # undamped reduced diagonal entries
     g_r: Tangent  # gradient (reduced)
@@ -288,6 +338,7 @@ class RcsAsm(NamedTuple):
 class RcsSystem(NamedTuple):
     vis: tuple  # tuple[VisBatch]
     rest: object  # LinearizedGraph of small batches
+    rest_pt: object  # LinearizedGraph: point-coupled small batches (W terms)
     H_ll: jnp.ndarray  # (L, 3, 3) damped
     H_ll_inv: jnp.ndarray
     diag_r: Tangent  # undamped reduced diagonal
@@ -457,12 +508,12 @@ def assemble(cfgs, datas, lg, v, masks: Masks) -> RcsAsm:
     """Everything lambda-independent for this linearization."""
     pairs = _vis_batches(cfgs, datas, lg)
     vis = tuple(b for b, _ in pairs)
-    _, rest = _split(cfgs, lg)
+    _, rest, rest_pt = _split(cfgs, lg)
     H_ll0 = _point_blocks_blocked(vis, rest, v, None)
     diag_r = _diag(vis, rest, v)
     g_r, g_l = _grad(pairs, rest, v)
     blocks0, A_rp = _precond_blocks_static(vis, rest, v, masks)
-    return RcsAsm(vis, rest, H_ll0, diag_r, g_r, g_l, A_rp, blocks0)
+    return RcsAsm(vis, rest, rest_pt, H_ll0, diag_r, g_r, g_l, A_rp, blocks0)
 
 
 def with_damping(asm: RcsAsm, v, masks, lam) -> RcsSystem:
@@ -473,8 +524,8 @@ def with_damping(asm: RcsAsm, v, masks, lam) -> RcsSystem:
     H_ll = asm.H_ll0 + eye * (lam * diag + lam)[..., None, :] * eye
     H_ll_inv = engine._inv3(H_ll)
     precond_inv = _precond_finish(asm, v, masks, lam, H_ll_inv)
-    return RcsSystem(asm.vis, asm.rest, H_ll, H_ll_inv, asm.diag_r, lam,
-                     precond_inv)
+    return RcsSystem(asm.vis, asm.rest, asm.rest_pt, H_ll, H_ll_inv,
+                     asm.diag_r, lam, precond_inv)
 
 
 # ---------------------------------------------------------------------------
@@ -528,8 +579,19 @@ def w_transpose_x(rs: RcsSystem, v, x: Tangent):
     """W^T x (L, 3): per batch, u in rig order -> permute (d,N) -> point grid."""
     t = jnp.zeros_like(v.points)
     for b in rs.vis:
+        if _rig_only_fast(b):
+            (J,) = b.jac
+            _, tpart = seg.seg_schur_down(
+                J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, x.rig, b.rb_base,
+                b.info.nt, b.info.ts, b.info.rb, b.info.prb2)
+            t = t + seg.scatter_partials(tpart, b.rg_pt_rows, t.shape[0],
+                                         b.info.prb2)
+            continue
         wu = _vis_u(b, x) * b.w[None, :]
         t = t + _pt_reduce(b, wu, t.shape[0])
+    if rs.rest_pt.lins:  # point-coupled non-blocked batches: H_lr x
+        _, hp = engine._hmatvec(rs.rest_pt, v, x, jnp.zeros_like(v.points))
+        t = t + hp
     return t
 
 
@@ -544,20 +606,48 @@ def w_y(rs: RcsSystem, v, yl):
     """W y_l (Tangent): per batch, u2 in point order -> permute back."""
     y = zero_tangent(v)._asdict()
     for b in rs.vis:
+        if _rig_only_fast(b):
+            (J,) = b.jac
+            zt = seg.gather_tiles(yl, b.rg_pt_rows, b.info.nt, b.info.prb2)
+            y[fct.RIG] = y[fct.RIG] + seg.seg_schur_up(
+                J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, zt, b.rb_base,
+                b.info.nt, b.info.ts, b.info.rb, b.info.prb2,
+                y[fct.RIG].shape[0])
+            continue
         y = _vis_scatter(b, y, _pt_expand(b, yl))
-    return Tangent(**y)
+    out = Tangent(**y)
+    if rs.rest_pt.lins:  # point-coupled non-blocked batches: H_rl y_l
+        hx, _ = engine._hmatvec(rs.rest_pt, v, zero_tangent(v), yl)
+        out = jax.tree_util.tree_map(jnp.add, out, hx)
+    return out
+
+
+def _rig_only_fast(b: VisBatch):
+    """Batch qualifies for the single-pass rig-grid matvec: couples only rig
+    variables and its rig tiles have bounded point windows."""
+    return b.groups == (fct.RIG,) and b.info.prb2 > 0
 
 
 def matvec(rs: RcsSystem, v, x: Tangent) -> Tangent:
     """S x = (H_rr + damping) x - W H_ll^-1 W^T x.
 
-    Single pass per visual batch: wu = w * (J_r x) is computed ONCE (fused
-    Pallas tile kernel when the batch couples only rigs — the common case)
-    and feeds both the rig-side scatter (H_rr x) and the point-side
-    reduction (W^T x)."""
+    Single pass per visual batch: wu = w * (J_r x) is computed ONCE and feeds
+    both the rig-side scatter (H_rr x) and the point-side reduction (W^T x).
+    Rig-only batches with bounded per-tile point windows run entirely on the
+    rig grid (seg_schur_down/up — no rig<->point permutes, J read once per
+    pass); others fall back to the two-grid permute path."""
     y = zero_tangent(v)._asdict()
     t = jnp.zeros_like(v.points)
     for b in rs.vis:
+        if _rig_only_fast(b):
+            (J,) = b.jac
+            y_tab, tpart = seg.seg_schur_down(
+                J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, x.rig, b.rb_base,
+                b.info.nt, b.info.ts, b.info.rb, b.info.prb2)
+            y[fct.RIG] = y[fct.RIG] + y_tab
+            t = t + seg.scatter_partials(tpart, b.rg_pt_rows, t.shape[0],
+                                         b.info.prb2)
+            continue
         if b.groups == (fct.RIG,):
             (J,) = b.jac
             wu, y_tab = seg.seg_mv_fused_table(
@@ -568,9 +658,11 @@ def matvec(rs: RcsSystem, v, x: Tangent) -> Tangent:
             wu = _vis_u(b, x) * b.w[None, :]
             y = _vis_scatter(b, y, wu)
         t = t + _pt_reduce(b, wu, t.shape[0])
-    hx_rest, _ = engine._hmatvec(
+    hx_rest, hp_rest = engine._hmatvec(
         engine.LinearizedGraph(rs.rest.lins, rs.rest.w, 0.0, (), (), 0, 0),
         v, x, jnp.zeros_like(v.points))
+    if rs.rest_pt.lins:  # point-coupled non-blocked batches: W^T x side
+        t = t + hp_rest
     hx = jax.tree_util.tree_map(jnp.add, Tangent(**y), hx_rest)
     damped = jax.tree_util.tree_map(
         lambda h, d, xv: h + rs.lam * (d * xv) + rs.lam * xv, hx, rs.diag_r, x)
