@@ -56,6 +56,15 @@ def _oh(loc, rb):
     return cols == loc[:, None]
 
 
+def _oh_t(loc, rb):
+    """(rb, ts) TRANSPOSED one-hot from lane-major indices (ts,). Unlike
+    _oh, `loc` stays in the lane dimension — `loc[:, None]` would force a
+    lane->sublane relayout of the whole index vector inside the kernel,
+    which Mosaic implements as an expensive shuffle."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rb, loc.shape[0]), 0)
+    return rows == loc[None, :]
+
+
 # ---------------------------------------------------------------------------
 # seg_reduce: segment-sum contributions into tile partials
 # ---------------------------------------------------------------------------
@@ -486,79 +495,127 @@ def _rows_from_bases(bases, nt, rb):
 # ---------------------------------------------------------------------------
 # Single-pass Schur matvec kernels on the RIG grid. When every rig tile's
 # observed landmark ids fall in a bounded window (rcs.finalize_blocks checks
-# and records prb2), the whole Schur-complement matvec
+# and records prb2 = 128*nhw) AND the whole point tangent table fits VMEM
+# (nhg*128 rows), the Schur-complement matvec
 #   y  = H_rr x           (rig side)
 #   t  = W^T x            (landmark side)           [down]
 #   y -= W (H_ll^-1 t)                              [up, after the 3x3 solves]
 # runs on the rig-sorted grid alone: no point-sorted J copy, no rig<->point
-# column permutes (measured ~8 ms of a ~10 ms matvec on v5e). Each kernel
-# reads the J blocks exactly once; the observation axis is chunked so the
-# one-hot tiles stay ~2 MB of VMEM.
+# column permutes, no per-tile partials in HBM. The point table is VMEM-
+# resident in a (3*nhg, 128) layout (row j*nhg + hi, lane lo for point
+# id = hi*128 + lo, coordinate j); per-tile windows bound the hi range so
+# the per-observation selection factors into one (tsc, 128) one-hot MXU dot
+# plus an nhw-wide VPU contraction.
 # ---------------------------------------------------------------------------
 
 
-def _schur_chunk(ts, rb, nh):
+def _schur_chunk(ts, rb, nhw):
     """Largest power-of-two chunk of the observation axis keeping the one-hot
-    tiles (tsc x (rb + 128 + nh) f32) around 4 MB of VMEM."""
+    tiles (tsc x (rb + 128 + 3*nhw)) around 4 MB of VMEM."""
     tsc = ts
-    while tsc > 256 and tsc * (rb + 128 + nh) > 1024 * 1024:
+    while tsc > 256 and tsc * (rb + 128 + 3 * nhw) > 2560 * 1024:
         tsc //= 2
     return tsc
 
 
-def _hi_lo(ploc, nh):
-    """Split window-local point indices into (hi one-hot (tsc, nh) f32-ish
-    bool, lo indices) for the hierarchical selection id = hi*128 + lo."""
-    lo = jnp.bitwise_and(ploc, 127)
-    hi = jnp.right_shift(ploc, 7)
-    return hi, lo
+def _hi_lo(ploc):
+    """Window-local point index -> (hi, lo) for id = hi*128 + lo."""
+    return jnp.right_shift(ploc, 7), jnp.bitwise_and(ploc, 127)
 
 
-def _schur_down_kernel(rb, nh, rbases_ref, rloc_ref, ploc_ref, w_ref,
-                       x_ref, jr_ref, jp_ref, y_ref, tp_ref):
+def _split3(x):
+    """Exact bf16 decomposition of an f32 array (24-bit mantissa <= 3x8+
+    rounding carry; the residual after two rounds fits one bf16). Selection
+    dots against a {0,1} one-hot (exact in bf16) then run at full bf16 MXU
+    rate with f32 accumulation — ~2x the 6-pass HIGHEST f32 dot — differing
+    from it only in accumulation order. bf16 inputs pass through."""
+    if x.dtype == jnp.bfloat16:
+        return (x,)
+    h1 = x.astype(jnp.bfloat16)
+    r1 = x - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    r2 = r1 - h2.astype(jnp.float32)
+    return (h1, h2, r2.astype(jnp.bfloat16))
+
+
+def _sel_dot(a, b, dims):
+    """dot_general for selection contractions: one operand is a one-hot
+    already cast to bf16, the other carries f32 values (split exactly via
+    _split3). Accumulates in f32."""
+    acc = None
+    for x in _split3(a):
+        for y in _split3(b):
+            t = jax.lax.dot_general(x, y, (dims, ((), ())),
+                                    preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+    return acc
+
+
+def _to_pt_rows(pt_local, hib, nt, ts):
+    """Window-local point indices + per-tile hi bases -> global point rows."""
+    return (jnp.repeat(hib.astype(jnp.int32) * 128, ts) +
+            pt_local.astype(jnp.int32))
+
+
+def pt_table_to_kernel(z, nhg):
+    """(n_pts, 3) point tangent -> (3*nhg, 128) kernel layout."""
+    n_pts = z.shape[0]
+    zp = jnp.pad(z, ((0, nhg * 128 - n_pts), (0, 0)))
+    return zp.reshape(nhg, 128, 3).transpose(2, 0, 1).reshape(3 * nhg, 128)
+
+
+def pt_table_from_kernel(t, n_pts):
+    """(3*nhg, 128) kernel layout -> (n_pts, 3) point tangent."""
+    nhg = t.shape[0] // 3
+    return (t.reshape(3, nhg, 128).transpose(1, 2, 0)
+            .reshape(nhg * 128, 3)[:n_pts])
+
+
+def _schur_down_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
+                       w_ref, x_ref, jr_ref, jp_ref, y_ref, tp_ref):
     i, c = pl.program_id(0), pl.program_id(1)
     base = pl.multiple_of(rbases_ref[i], 8)
+    hb = pl.multiple_of(hib_ref[i], 8)
 
     @pl.when((i == 0) & (c == 0))
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
-
-    @pl.when(c == 0)
-    def _():
         tp_ref[:] = jnp.zeros_like(tp_ref)
 
-    ohr = _oh(rloc_ref[0, 0], rb).astype(x_ref.dtype)  # (tsc, rb)
+    ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, tsc)
     xt = x_ref[pl.ds(base, rb), :]  # (rb, k)
-    xgT = jax.lax.dot_general(  # (k, tsc)
-        xt, ohr, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=_sel_precision(ohr.dtype))
+    xgT = _sel_dot(xt, ohr, ((0,), (0,)))  # (k, tsc)
     Jr = jr_ref[:]  # (d, k, tsc)
-    wu = jnp.sum(Jr * xgT[None, :, :], axis=1) * w_ref[0, 0][None, :]
+    wu = jnp.sum(Jr * xgT.astype(Jr.dtype)[None, :, :], axis=1) \
+        * w_ref[0, 0][None, :]
     contrib_r = jnp.sum(Jr * wu[:, None, :], axis=0)  # (k, tsc)
-    part = jax.lax.dot_general(  # (rb, k)
-        ohr, contrib_r, (((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_sel_precision(ohr.dtype)).astype(y_ref.dtype)
-    y_ref[pl.ds(base, rb), :] = y_ref[pl.ds(base, rb), :] + part
-    # hierarchical point scatter: id = hi*128 + lo. M[:, j*nh+h] =
-    # ohhi[:, h] * contrib_p[j], then one (tsc,128)-wide selection dot
-    # P = M^T ohlo gives P[j*nh+h, l] = sum over obs with (hi, lo)==(h, l).
-    hi, lo = _hi_lo(ploc_ref[0, 0], nh)
-    ohlo = _oh(lo, 128).astype(x_ref.dtype)  # (tsc, 128)
-    ohhi = _oh(hi, nh).astype(x_ref.dtype)  # (tsc, nh)
+    part = _sel_dot(ohr, contrib_r, ((1,), (1,)))  # (rb, k)
+    y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
+                                 + part.astype(y_ref.dtype))
+    # hierarchical point scatter: id = hi*128 + lo. MT[j*nhw+h, :] =
+    # ohhi[h, :] * contrib_p[j], then one 128-row selection dot
+    # P = MT ohlo^T gives P[j*nhw+h, l] = sum over obs with (hi, lo)==(h, l),
+    # accumulated into the resident table at sublane offset j*nhg + hb.
+    # Everything stays lane-major in the observation axis.
+    hi, lo = _hi_lo(ploc_ref[0, 0])
+    ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)  # (128, tsc)
+    ohhi = _oh_t(hi, nhw).astype(wu.dtype)  # (nhw, tsc)
     contrib_p = jnp.sum(jp_ref[:] * wu[:, None, :], axis=0)  # (3, tsc)
-    M = jnp.concatenate(
-        [ohhi * contrib_p[j][:, None] for j in range(3)], axis=1)
-    tp_ref[0] = tp_ref[0] + jax.lax.dot_general(  # (3*nh, 128)
-        M, ohlo, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_sel_precision(ohlo.dtype)).astype(tp_ref.dtype)
+    MT = jnp.concatenate(
+        [ohhi * contrib_p[j][None, :] for j in range(3)], axis=0)
+    P = _sel_dot(MT, ohlo, ((1,), (1,)))  # (3*nhw, 128)
+    for j in range(3):
+        tp_ref[pl.ds(j * nhg + hb, nhw), :] = (
+            tp_ref[pl.ds(j * nhg + hb, nhw), :]
+            + P[j * nhw:(j + 1) * nhw].astype(tp_ref.dtype))
 
 
-def seg_schur_down(J_r, J_p, w, rig_local, pt_local, x_table, r_bases,
-                   nt, ts, rb, prb2):
-    """(y = segment-sum_rig of J_r^T w J_r x,  tpart (nt, prb2, 3) point
-    partials of J_p^T w J_r x) in one pass over the rig grid."""
+def seg_schur_down(J_r, J_p, w, rig_local, pt_local, hib, x_table, r_bases,
+                   n_pts, nt, ts, rb, nhw, nhg):
+    """One pass over the rig grid: returns
+      y (n_rows, k) = segment-sum_rig of J_r^T w J_r x
+      t (n_pts, 3)  = segment-sum_pt  of J_p^T w J_r x   (= W^T x)
+    with the point table accumulated VMEM-resident (no per-tile partials)."""
     d, k, _ = J_r.shape
     n_rows = x_table.shape[0]
     if not use_pallas(J_r):
@@ -569,43 +626,47 @@ def seg_schur_down(J_r, J_p, w, rig_local, pt_local, x_table, r_bases,
         y = seg_mv_scatter_table(J_r, wu, rig_local, r_bases, nt, ts, rb,
                                  n_rows)
         contrib_p = jnp.einsum("dkn,dn->kn", J_p, wu)
-        return y, seg_reduce_partials(contrib_p, pt_local, nt, ts, prb2)
-    nh = prb2 // 128
-    tsc = _schur_chunk(ts, rb, nh)
+        rows = _to_pt_rows(pt_local, hib, nt, ts)
+        t = jnp.zeros((nhg * 128, 3), J_r.dtype).at[rows].add(contrib_p.T)
+        return y, t[:n_pts]
+    tsc = _schur_chunk(ts, rb, nhw)
     nc = ts // tsc
     xp, npad = _table_pad(x_table, rb)
-    y, tpart = pl.pallas_call(
-        partial(_schur_down_kernel, rb, nh),
+    y, t = pl.pallas_call(
+        partial(_schur_down_kernel, rb, nhw, nhg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(nt, nc),
             in_specs=[
-                pl.BlockSpec((1, 1, tsc), lambda i, c, b: (i, 0, c),
+                pl.BlockSpec((1, 1, tsc), lambda i, c, b, h: (i, 0, c),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, tsc), lambda i, c, b: (i, 0, c),
+                pl.BlockSpec((1, 1, tsc), lambda i, c, b, h: (i, 0, c),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, tsc), lambda i, c, b: (i, 0, c),
+                pl.BlockSpec((1, 1, tsc), lambda i, c, b, h: (i, 0, c),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((npad, k), lambda i, c, b: (0, 0),
+                pl.BlockSpec((npad, k), lambda i, c, b, h: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, k, tsc), lambda i, c, b: (0, 0, i * (ts // tsc) + c),
+                pl.BlockSpec((d, k, tsc),
+                             lambda i, c, b, h: (0, 0, i * (ts // tsc) + c),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, 3, tsc), lambda i, c, b: (0, 0, i * (ts // tsc) + c),
+                pl.BlockSpec((d, 3, tsc),
+                             lambda i, c, b, h: (0, 0, i * (ts // tsc) + c),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((npad, k), lambda i, c, b: (0, 0),
+                pl.BlockSpec((npad, k), lambda i, c, b, h: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3 * nh, 128), lambda i, c, b: (i, 0, 0),
+                pl.BlockSpec((3 * nhg, 128), lambda i, c, b, h: (0, 0),
                              memory_space=pltpu.VMEM),
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((npad, k), J_r.dtype),
-            jax.ShapeDtypeStruct((nt, 3 * nh, 128), J_r.dtype),
+            jax.ShapeDtypeStruct((3 * nhg, 128), J_r.dtype),
         ),
     )(
         r_bases.astype(jnp.int32),
+        hib.astype(jnp.int32),
         rig_local.reshape(nt, 1, ts).astype(jnp.int32),
         pt_local.reshape(nt, 1, ts).astype(jnp.int32),
         w.reshape(nt, 1, ts),
@@ -613,90 +674,88 @@ def seg_schur_down(J_r, J_p, w, rig_local, pt_local, x_table, r_bases,
         J_r,
         J_p,
     )
-    # (nt, 3*nh, 128): [j*nh+h, l] -> (nt, prb2, 3): [h*128+l, j]
-    tpart = (tpart.reshape(nt, 3, nh, 128)
-             .transpose(0, 2, 3, 1).reshape(nt, prb2, 3))
-    return y[:n_rows], tpart
+    return y[:n_rows], pt_table_from_kernel(t, n_pts)
 
 
-def _schur_up_kernel(rb, nh, rbases_ref, rloc_ref, ploc_ref, w_ref,
-                     z_ref, jr_ref, jp_ref, y_ref):
+def _schur_up_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
+                     w_ref, z_ref, jr_ref, jp_ref, y_ref):
     i, c = pl.program_id(0), pl.program_id(1)
     base = pl.multiple_of(rbases_ref[i], 8)
+    hb = pl.multiple_of(hib_ref[i], 8)
 
     @pl.when((i == 0) & (c == 0))
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    # hierarchical point gather: G = ohlo z^T gives G[n, j*nh+h] =
-    # z[hi(n)*128+lo(n), j] for every candidate hi=h; the nh-way ohhi
-    # contraction picks the right one on the VPU.
-    hi, lo = _hi_lo(ploc_ref[0, 0], nh)
-    ohlo = _oh(lo, 128).astype(z_ref.dtype)  # (tsc, 128)
-    ohhi = _oh(hi, nh)  # (tsc, nh) bool
-    G = jax.lax.dot_general(  # (tsc, 3*nh)
-        ohlo, z_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_sel_precision(ohlo.dtype))
+    # hierarchical point gather from the resident z table: Gt = Zw ohlo
+    # gives Gt[j*nhw+h, n] = z[(hb+h)*128+lo(n), j] for every candidate
+    # hi=h; the nhw-way ohhi contraction picks the right one on the VPU.
+    # Everything stays lane-major in the observation axis.
+    hi, lo = _hi_lo(ploc_ref[0, 0])
+    ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)  # (128, tsc)
+    ohhi = _oh_t(hi, nhw)  # (nhw, tsc) bool
+    Zw = jnp.concatenate(
+        [z_ref[pl.ds(j * nhg + hb, nhw), :] for j in range(3)], axis=0)
+    Gt = _sel_dot(Zw, ohlo, ((1,), (0,)))  # (3*nhw, tsc)
     Jp = jp_ref[:]  # (d, 3, tsc)
     w = w_ref[0, 0]
-    u2 = jnp.zeros((Jp.shape[0], lo.shape[0]), G.dtype)  # (d, tsc)
+    u2 = jnp.zeros((Jp.shape[0], lo.shape[0]), Jp.dtype)  # (d, tsc)
     for j in range(3):
         zg_j = jnp.sum(
-            jnp.where(ohhi, G[:, j * nh:(j + 1) * nh], 0.0), axis=1)
-        u2 = u2 + Jp[:, j, :] * zg_j[None, :]
+            jnp.where(ohhi, Gt[j * nhw:(j + 1) * nhw, :], 0.0), axis=0)
+        u2 = u2 + Jp[:, j, :] * zg_j.astype(Jp.dtype)[None, :]
     wu2 = u2 * w[None, :]
     contrib = jnp.sum(jr_ref[:] * wu2[:, None, :], axis=0)  # (k, tsc)
-    ohr = _oh(rloc_ref[0, 0], rb).astype(z_ref.dtype)
-    part = jax.lax.dot_general(
-        ohr, contrib, (((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_sel_precision(ohr.dtype)).astype(y_ref.dtype)
-    y_ref[pl.ds(base, rb), :] = y_ref[pl.ds(base, rb), :] + part
+    ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, tsc)
+    part = _sel_dot(ohr, contrib, ((1,), (1,)))  # (rb, k)
+    y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
+                                 + part.astype(y_ref.dtype))
 
 
-def seg_schur_up(J_r, J_p, w, rig_local, pt_local, z_tiles, r_bases,
-                 nt, ts, rb, prb2, n_rows):
+def seg_schur_up(J_r, J_p, w, rig_local, pt_local, hib, z, r_bases,
+                 nt, ts, rb, nhw, nhg, n_rows):
     """y (n_rows, k) = segment-sum_rig of J_r^T w J_p z over the rig grid,
-    z gathered from the per-tile point windows (z_tiles (nt, prb2, 3))."""
+    z (n_pts, 3) held VMEM-resident in kernel layout (= W y_l)."""
     d, k, _ = J_r.shape
     if not use_pallas(J_r):
-        zg = seg_gather_from_tiles(z_tiles, pt_local, nt, ts, prb2)  # (N, 3)
+        rows = _to_pt_rows(pt_local, hib, nt, ts)
+        zp = jnp.pad(z, ((0, nhg * 128 - z.shape[0]), (0, 0)))
+        zg = zp[rows]  # (N, 3)
         u2 = jnp.einsum("dkn,nk->dn", J_p, zg) * w[None, :]
         return seg_mv_scatter_table(J_r, u2, rig_local, r_bases, nt, ts, rb,
                                     n_rows)
-    nh = prb2 // 128
-    tsc = _schur_chunk(ts, rb, nh)
+    tsc = _schur_chunk(ts, rb, nhw)
     nc = ts // tsc
     npad = ((n_rows + rb + 7) // 8) * 8
-    # (nt, prb2, 3): [h*128+l, j] -> (nt, 3*nh, 128): [j*nh+h, l]
-    zr = (z_tiles.reshape(nt, nh, 128, 3)
-          .transpose(0, 3, 1, 2).reshape(nt, 3 * nh, 128))
+    zr = pt_table_to_kernel(z, nhg)
     y = pl.pallas_call(
-        partial(_schur_up_kernel, rb, nh),
+        partial(_schur_up_kernel, rb, nhw, nhg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(nt, nc),
             in_specs=[
-                pl.BlockSpec((1, 1, tsc), lambda i, c, b: (i, 0, c),
+                pl.BlockSpec((1, 1, tsc), lambda i, c, b, h: (i, 0, c),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, tsc), lambda i, c, b: (i, 0, c),
+                pl.BlockSpec((1, 1, tsc), lambda i, c, b, h: (i, 0, c),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, tsc), lambda i, c, b: (i, 0, c),
+                pl.BlockSpec((1, 1, tsc), lambda i, c, b, h: (i, 0, c),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3 * nh, 128), lambda i, c, b: (i, 0, 0),
+                pl.BlockSpec((3 * nhg, 128), lambda i, c, b, h: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, k, tsc), lambda i, c, b: (0, 0, i * (ts // tsc) + c),
+                pl.BlockSpec((d, k, tsc),
+                             lambda i, c, b, h: (0, 0, i * (ts // tsc) + c),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, 3, tsc), lambda i, c, b: (0, 0, i * (ts // tsc) + c),
+                pl.BlockSpec((d, 3, tsc),
+                             lambda i, c, b, h: (0, 0, i * (ts // tsc) + c),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((npad, k), lambda i, c, b: (0, 0),
+            out_specs=pl.BlockSpec((npad, k), lambda i, c, b, h: (0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((npad, k), J_r.dtype),
     )(
         r_bases.astype(jnp.int32),
+        hib.astype(jnp.int32),
         rig_local.reshape(nt, 1, ts).astype(jnp.int32),
         pt_local.reshape(nt, 1, ts).astype(jnp.int32),
         w.reshape(nt, 1, ts),

@@ -73,6 +73,9 @@ class BlockInfo:
     # bounded id range — the whole Schur matvec then runs on the rig grid
     # alone with no rig<->point permutes (segments.seg_schur_down/up)
     prb2: int = 0
+    # padded point-table height in 128-row units for the VMEM-resident point
+    # accumulator of the single-pass kernels (0 = table too large for VMEM)
+    nhg: int = 0
 
 
 def _tile_plan(key_sorted, rb, ts):
@@ -99,7 +102,7 @@ def _tile_plan(key_sorted, rb, ts):
 
 
 def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096,
-                    prb2_cap: int = 4096):
+                    prb2_cap: int = 4096, nhg_cap: int = 2048):
     """Reorder visual-family batches by rig, lay them out in ragged tiles,
     and attach the point-grid permutation. Mutates problem.{cfgs,datas}
     (host, one-time — the TPU analog of BaSpaCho's symbolic analysis)."""
@@ -145,20 +148,24 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096,
         small = np.where(pad_tiles, np.int64(-1), pt_tiles)
         pmin = big.min(axis=1)
         pmax = small.max(axis=1)
-        base2 = (pmin & ~7).astype(np.int64)
+        # window bases at multiples of 1024 = 128*8 so hib = base2/128 is a
+        # sublane-aligned (x8) offset into the resident (3*nhg, 128) table
+        base2 = (pmin & ~1023).astype(np.int64)
         span = int((pmax - base2).max()) + 1
-        prb2 = 128
-        while prb2 < span:
-            prb2 *= 2
-        if prb2 <= prb2_cap:
+        nhw = -(-span // 128)
+        nhw = ((nhw + 7) // 8) * 8
+        prb2 = 128 * nhw
+        hib = (base2 >> 7).astype(np.int32)
+        nhg = max(-(-L // 128), int(hib.max()) + nhw)
+        nhg = ((nhg + 7) // 8) * 8
+        if prb2 <= prb2_cap and nhg <= nhg_cap:
             loc2 = pt_full - base2.repeat(ts)
             loc2[pad.reshape(-1) > 0.5] = 0
             new["_rg_pt_local"] = loc2.astype(np.int32)
-            new["_rg_pt_base"] = base2.astype(np.int32)
-            new["_rg_pt_rows"] = (base2[:, None] + np.arange(prb2)[None, :]
-                                  ).astype(np.int32).reshape(-1)
+            new["_rg_hib"] = hib
         else:
             prb2 = 0
+            nhg = 0
         real = np.nonzero(pad < 0.5)[0]
         porder = np.argsort(pt_full[real], kind="stable")
         real_idx = real[porder]
@@ -182,7 +189,7 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096,
         new["_pt_base"] = pbase.astype(np.int32)
         problem.datas[bi] = {k: jnp.asarray(v) for k, v in new.items()}
         problem.cfgs[bi] = dataclasses.replace(
-            cfg, block_info=BlockInfo(rb, nt, ts, prb, pnt, ts, prb2)
+            cfg, block_info=BlockInfo(rb, nt, ts, prb, pnt, ts, prb2, nhg)
         )
     problem._jits = None
     return problem
@@ -218,8 +225,7 @@ class VisBatch(NamedTuple):
     rb_base: jnp.ndarray  # (nt,) 8-aligned rig-row base per tile
     pt_base: jnp.ndarray  # (pnt,) 8-aligned point-row base per tile
     rg_pt_local: jnp.ndarray  # (N,) point index within the rig tile's window (or None)
-    rg_pt_base: jnp.ndarray  # (nt,) 8-aligned point-window base per RIG tile (or None)
-    rg_pt_rows: jnp.ndarray  # (nt*prb2,) addressed point rows per rig tile (or None)
+    rg_hib: jnp.ndarray  # (nt,) x8-aligned window base per RIG tile, in 128-row units (or None)
     groups: tuple  # static: non-point group names in lin order
     idx: tuple  # per non-point group (N,) index arrays
     jac: tuple  # per non-point group (d, dim, N)
@@ -236,15 +242,15 @@ class VisBatch(NamedTuple):
 jax.tree_util.register_pytree_node(
     VisBatch,
     lambda b: ((b.w, b.rb_local, b.rb_rows, b.pt_rows, b.rb_base, b.pt_base,
-                b.rg_pt_local, b.rg_pt_base, b.rg_pt_rows,
+                b.rg_pt_local, b.rg_hib,
                 b.idx, b.jac, b.ells, b.J_pt, b.J_pt_po, b.w_po, b.pt_local,
                 b.pt_perm, b.pt_inv, b.pt_idx), (b.info, b.groups)),
     lambda aux, ch: VisBatch(
         info=aux[0], w=ch[0], rb_local=ch[1], rb_rows=ch[2], pt_rows=ch[3],
-        rb_base=ch[4], pt_base=ch[5], rg_pt_local=ch[6], rg_pt_base=ch[7],
-        rg_pt_rows=ch[8], groups=aux[1], idx=ch[9], jac=ch[10],
-        ells=ch[11], J_pt=ch[12], J_pt_po=ch[13], w_po=ch[14], pt_local=ch[15],
-        pt_perm=ch[16], pt_inv=ch[17], pt_idx=ch[18],
+        rb_base=ch[4], pt_base=ch[5], rg_pt_local=ch[6], rg_hib=ch[7],
+        groups=aux[1], idx=ch[8], jac=ch[9],
+        ells=ch[10], J_pt=ch[11], J_pt_po=ch[12], w_po=ch[13], pt_local=ch[14],
+        pt_perm=ch[15], pt_inv=ch[16], pt_idx=ch[17],
     ),
 )
 
@@ -304,8 +310,7 @@ def _vis_batches(cfgs, datas, lg):
             info=info, w=wv, rb_local=data["_rb_local"], rb_rows=data["_rb_rows"],
             pt_rows=data["_pt_rows"], rb_base=data["_rb_base"],
             pt_base=data["_pt_base"], rg_pt_local=data.get("_rg_pt_local"),
-            rg_pt_base=data.get("_rg_pt_base"),
-            rg_pt_rows=data.get("_rg_pt_rows"), groups=tuple(groups),
+            rg_hib=data.get("_rg_hib"), groups=tuple(groups),
             idx=tuple(idx), jac=tuple(jac), ells=tuple(ells), J_pt=J_pt,
             J_pt_po=J_pt_po, w_po=wv[perm] * data["_pt_w"],
             pt_local=data["_pt_local"], pt_perm=perm, pt_inv=data["_pt_inv"],
@@ -581,11 +586,11 @@ def w_transpose_x(rs: RcsSystem, v, x: Tangent):
     for b in rs.vis:
         if _rig_only_fast(b):
             (J,) = b.jac
-            _, tpart = seg.seg_schur_down(
-                J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, x.rig, b.rb_base,
-                b.info.nt, b.info.ts, b.info.rb, b.info.prb2)
-            t = t + seg.scatter_partials(tpart, b.rg_pt_rows, t.shape[0],
-                                         b.info.prb2)
+            _, t_b = seg.seg_schur_down(
+                J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib, x.rig,
+                b.rb_base, t.shape[0], b.info.nt, b.info.ts, b.info.rb,
+                b.info.prb2 // 128, b.info.nhg)
+            t = t + t_b
             continue
         wu = _vis_u(b, x) * b.w[None, :]
         t = t + _pt_reduce(b, wu, t.shape[0])
@@ -608,11 +613,10 @@ def w_y(rs: RcsSystem, v, yl):
     for b in rs.vis:
         if _rig_only_fast(b):
             (J,) = b.jac
-            zt = seg.gather_tiles(yl, b.rg_pt_rows, b.info.nt, b.info.prb2)
             y[fct.RIG] = y[fct.RIG] + seg.seg_schur_up(
-                J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, zt, b.rb_base,
-                b.info.nt, b.info.ts, b.info.rb, b.info.prb2,
-                y[fct.RIG].shape[0])
+                J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib, yl,
+                b.rb_base, b.info.nt, b.info.ts, b.info.rb,
+                b.info.prb2 // 128, b.info.nhg, y[fct.RIG].shape[0])
             continue
         y = _vis_scatter(b, y, _pt_expand(b, yl))
     out = Tangent(**y)
@@ -624,8 +628,9 @@ def w_y(rs: RcsSystem, v, yl):
 
 def _rig_only_fast(b: VisBatch):
     """Batch qualifies for the single-pass rig-grid matvec: couples only rig
-    variables and its rig tiles have bounded point windows."""
-    return b.groups == (fct.RIG,) and b.info.prb2 > 0
+    variables, rig tiles have bounded point windows, and the point table
+    fits the kernels' VMEM-resident accumulator."""
+    return b.groups == (fct.RIG,) and b.info.prb2 > 0 and b.info.nhg > 0
 
 
 def matvec(rs: RcsSystem, v, x: Tangent) -> Tangent:
@@ -641,12 +646,12 @@ def matvec(rs: RcsSystem, v, x: Tangent) -> Tangent:
     for b in rs.vis:
         if _rig_only_fast(b):
             (J,) = b.jac
-            y_tab, tpart = seg.seg_schur_down(
-                J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, x.rig, b.rb_base,
-                b.info.nt, b.info.ts, b.info.rb, b.info.prb2)
+            y_tab, t_b = seg.seg_schur_down(
+                J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib, x.rig,
+                b.rb_base, t.shape[0], b.info.nt, b.info.ts, b.info.rb,
+                b.info.prb2 // 128, b.info.nhg)
             y[fct.RIG] = y[fct.RIG] + y_tab
-            t = t + seg.scatter_partials(tpart, b.rg_pt_rows, t.shape[0],
-                                         b.info.prb2)
+            t = t + t_b
             continue
         if b.groups == (fct.RIG,):
             (J,) = b.jac
