@@ -128,6 +128,16 @@ def main():
         J, Jp, w, zz)
     cmp("seg_schur_up", yu_t, yu_r, tol=2e-6)
 
+    # fused per-lambda preconditioner kernel
+    Hs = rng.standard_normal((n_pts, 3, 3)).astype(np.float32)
+    Hs = jnp.asarray(Hs + np.swapaxes(Hs, 1, 2))  # symmetric like H_ll^-1
+    pr_t, pr_r = run(
+        lambda J, Jp, w, H: seg.seg_precond_rig(
+            J, Jp, w, local, ploc_j, hib_j, H, bases, nt, ts, rb, nhw, nhg,
+            n_rows),
+        J, Jp, w, Hs)
+    cmp("seg_precond_rig", pr_t, pr_r, tol=2e-6)
+
     # dense cross-checks of the Schur kernels
     keys_dense = (np.asarray(local) +
                   np.repeat(np.asarray(bases), ts)).astype(np.int64)
@@ -144,6 +154,14 @@ def main():
     yu_d = np.zeros((n_rows, k), np.float64)
     np.add.at(yu_d, keys_dense, np.einsum("dkn,dn->kn", np.asarray(J), wu2_d).T)
     cmp("schur_up vs dense", yu_t, yu_d.astype(np.float32))
+    Jw_d = np.asarray(J) * np.asarray(w)[None, None, :]
+    A_d = np.einsum("dan,dbn->abn", Jw_d, np.asarray(Jp))
+    Hn_d = np.asarray(Hs)[pt_keys]
+    E_d = (np.einsum("dan,dbn->abn", Jw_d, np.asarray(J))
+           - np.einsum("abn,nbc,dcn->adn", A_d, Hn_d, A_d))
+    pr_d = np.zeros((n_rows, k, k), np.float64)
+    np.add.at(pr_d, keys_dense, np.moveaxis(E_d, -1, 0))
+    cmp("precond_rig vs dense", pr_t, pr_d, tol=1e-5)
 
     # dense cross-check of the fused kernel against plain segment ops
     keys_full = np.zeros(npad, np.int64)

@@ -72,13 +72,8 @@ def _oh_t(loc, rb):
 
 def _seg_reduce_kernel(loc_ref, c_ref, out_ref):
     rb = out_ref.shape[1]
-    oh = _oh(loc_ref[0, 0], rb).astype(c_ref.dtype)
-    # (rb, D) = oh^T (rb, ts) @ c^T (ts, D), contracted without transposes
-    out_ref[0] = jax.lax.dot_general(
-        oh, c_ref[:], (((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_sel_precision(oh.dtype),
-    ).astype(out_ref.dtype)
+    oh = _oh_t(loc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, ts)
+    out_ref[0] = _sel_dot(oh, c_ref[:], ((1,), (1,))).astype(out_ref.dtype)
 
 
 def seg_reduce_partials(contrib, local, nt, ts, rb):
@@ -114,11 +109,8 @@ def seg_reduce_partials(contrib, local, nt, ts, rb):
 
 def _seg_gather_kernel(loc_ref, xt_ref, out_ref):
     rb = xt_ref.shape[1]
-    oh = _oh(loc_ref[0, 0], rb).astype(xt_ref.dtype)
-    out_ref[:] = jnp.dot(
-        oh, xt_ref[0], preferred_element_type=jnp.float32,
-        precision=_sel_precision(oh.dtype)
-    ).astype(out_ref.dtype)
+    oh = _oh_t(loc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, ts)
+    out_ref[:] = _sel_dot(oh, xt_ref[0], ((0,), (0,))).astype(out_ref.dtype)
 
 
 def seg_gather_from_tiles(xt, local, nt, ts, rb):
@@ -152,23 +144,14 @@ def seg_gather_from_tiles(xt, local, nt, ts, rb):
 def _mv_fused_kernel(loc_ref, xt_ref, j_ref, w_ref, wu_ref, y_ref):
     """wu = w * (J @ oh-gather(x));  y_part = oh^T @ (J^T @ wu)."""
     rb = xt_ref.shape[1]
-    oh = _oh(loc_ref[0, 0], rb).astype(xt_ref.dtype)
-    # xgT (k, ts) = xt^T (k, rb) @ oh^T — contract rb on both, no transposes
-    xgT = jax.lax.dot_general(
-        xt_ref[0], oh, (((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_sel_precision(oh.dtype),
-    )
+    oh = _oh_t(loc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, ts)
+    xgT = _sel_dot(xt_ref[0], oh, ((0,), (0,)))  # (k, ts)
     J = j_ref[:]  # (d, k, ts)
-    u = jnp.sum(J * xgT[None, :, :], axis=1)  # (d, ts)
+    u = jnp.sum(J * xgT.astype(J.dtype)[None, :, :], axis=1)  # (d, ts)
     wu = u * w_ref[0, 0][None, :]
     wu_ref[:] = wu.astype(wu_ref.dtype)
     contrib = jnp.sum(J * wu[:, None, :], axis=0)  # (k, ts)
-    y_ref[0] = jax.lax.dot_general(
-        oh, contrib, (((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_sel_precision(oh.dtype),
-    ).astype(y_ref.dtype)
+    y_ref[0] = _sel_dot(oh, contrib, ((1,), (1,))).astype(y_ref.dtype)
 
 
 def seg_mv_fused(J, w, xt, local, nt, ts, rb):
@@ -212,13 +195,10 @@ def seg_mv_fused(J, w, xt, local, nt, ts, rb):
 def _mv_gather_kernel(loc_ref, xt_ref, j_ref, u_ref):
     """u = J @ oh-gather(x) (no weighting)."""
     rb = xt_ref.shape[1]
-    oh = _oh(loc_ref[0, 0], rb).astype(xt_ref.dtype)
-    xgT = jax.lax.dot_general(
-        xt_ref[0], oh, (((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_sel_precision(oh.dtype),
-    )
-    u_ref[:] = jnp.sum(j_ref[:] * xgT[None, :, :], axis=1).astype(u_ref.dtype)
+    oh = _oh_t(loc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, ts)
+    xgT = _sel_dot(xt_ref[0], oh, ((0,), (0,)))  # (k, ts)
+    u_ref[:] = jnp.sum(j_ref[:] * xgT.astype(j_ref.dtype)[None, :, :],
+                       axis=1).astype(u_ref.dtype)
 
 
 def seg_mv_gather(J, xt, local, nt, ts, rb):
@@ -243,13 +223,9 @@ def seg_mv_gather(J, xt, local, nt, ts, rb):
 def _mv_scatter_kernel(loc_ref, j_ref, u_ref, y_ref):
     """y_part = oh^T @ (J^T @ u)."""
     rb = y_ref.shape[1]
-    oh = _oh(loc_ref[0, 0], rb).astype(j_ref.dtype)
+    oh = _oh_t(loc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, ts)
     contrib = jnp.sum(j_ref[:] * u_ref[:][:, None, :], axis=0)  # (k, ts)
-    y_ref[0] = jax.lax.dot_general(
-        oh, contrib, (((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_sel_precision(oh.dtype),
-    ).astype(y_ref.dtype)
+    y_ref[0] = _sel_dot(oh, contrib, ((1,), (1,))).astype(y_ref.dtype)
 
 
 def seg_mv_scatter(J, u, local, nt, ts, rb):
@@ -308,20 +284,15 @@ def _mv_fused_tbl_kernel(rb, bases_ref, loc_ref, w_ref, x_ref, j_ref,
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    oh = _oh(loc_ref[0, 0], rb).astype(x_ref.dtype)  # (ts, rb)
+    oh = _oh_t(loc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, ts)
     xt = x_ref[pl.ds(base, rb), :]  # (rb, k)
-    xgT = jax.lax.dot_general(  # (k, ts)
-        xt, oh, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=_sel_precision(oh.dtype)
-    )
+    xgT = _sel_dot(xt, oh, ((0,), (0,)))  # (k, ts)
     J = j_ref[:]  # (d, k, ts)
-    wu = jnp.sum(J * xgT[None, :, :], axis=1) * w_ref[0, 0][None, :]
+    wu = jnp.sum(J * xgT.astype(J.dtype)[None, :, :], axis=1) \
+        * w_ref[0, 0][None, :]
     wu_ref[:] = wu.astype(wu_ref.dtype)
     contrib = jnp.sum(J * wu[:, None, :], axis=0)  # (k, ts)
-    part = jax.lax.dot_general(  # (rb, k)
-        oh, contrib, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=_sel_precision(oh.dtype)
-    ).astype(y_ref.dtype)
+    part = _sel_dot(oh, contrib, ((1,), (1,))).astype(y_ref.dtype)  # (rb, k)
     y_ref[pl.ds(base, rb), :] = y_ref[pl.ds(base, rb), :] + part
 
 
@@ -374,12 +345,9 @@ def _mv_scatter_tbl_kernel(rb, bases_ref, loc_ref, u_ref, j_ref, y_ref):
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    oh = _oh(loc_ref[0, 0], rb).astype(j_ref.dtype)
+    oh = _oh_t(loc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, ts)
     contrib = jnp.sum(j_ref[:] * u_ref[:][:, None, :], axis=0)  # (k, ts)
-    part = jax.lax.dot_general(
-        oh, contrib, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=_sel_precision(oh.dtype)
-    ).astype(y_ref.dtype)
+    part = _sel_dot(oh, contrib, ((1,), (1,))).astype(y_ref.dtype)
     y_ref[pl.ds(base, rb), :] = y_ref[pl.ds(base, rb), :] + part
 
 
@@ -412,13 +380,11 @@ def seg_mv_scatter_table(J, u, local, bases, nt, ts, rb, n_rows):
 def _mv_gather_tbl_kernel(rb, bases_ref, loc_ref, x_ref, j_ref, u_ref):
     i = pl.program_id(0)
     base = pl.multiple_of(bases_ref[i], 8)
-    oh = _oh(loc_ref[0, 0], rb).astype(x_ref.dtype)
+    oh = _oh_t(loc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, ts)
     xt = x_ref[pl.ds(base, rb), :]
-    xgT = jax.lax.dot_general(
-        xt, oh, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=_sel_precision(oh.dtype)
-    )
-    u_ref[:] = jnp.sum(j_ref[:] * xgT[None, :, :], axis=1).astype(u_ref.dtype)
+    xgT = _sel_dot(xt, oh, ((0,), (0,)))  # (k, ts)
+    u_ref[:] = jnp.sum(j_ref[:] * xgT.astype(j_ref.dtype)[None, :, :],
+                       axis=1).astype(u_ref.dtype)
 
 
 def seg_mv_gather_table(J, x_table, local, bases, nt, ts, rb):
@@ -454,11 +420,8 @@ def _reduce_tbl_kernel(rb, bases_ref, loc_ref, c_ref, y_ref):
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    oh = _oh(loc_ref[0, 0], rb).astype(c_ref.dtype)
-    part = jax.lax.dot_general(
-        oh, c_ref[:], (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=_sel_precision(oh.dtype)
-    ).astype(y_ref.dtype)
+    oh = _oh_t(loc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, ts)
+    part = _sel_dot(oh, c_ref[:], ((1,), (1,))).astype(y_ref.dtype)
     y_ref[pl.ds(base, rb), :] = y_ref[pl.ds(base, rb), :] + part
 
 
@@ -558,17 +521,18 @@ def _to_pt_rows(pt_local, hib, nt, ts):
 
 
 def pt_table_to_kernel(z, nhg):
-    """(n_pts, 3) point tangent -> (3*nhg, 128) kernel layout."""
-    n_pts = z.shape[0]
+    """(n_pts, D) point table -> (D*nhg, 128) kernel layout (row j*nhg + hi,
+    lane lo for point id = hi*128 + lo, column j)."""
+    n_pts, D = z.shape
     zp = jnp.pad(z, ((0, nhg * 128 - n_pts), (0, 0)))
-    return zp.reshape(nhg, 128, 3).transpose(2, 0, 1).reshape(3 * nhg, 128)
+    return zp.reshape(nhg, 128, D).transpose(2, 0, 1).reshape(D * nhg, 128)
 
 
-def pt_table_from_kernel(t, n_pts):
-    """(3*nhg, 128) kernel layout -> (n_pts, 3) point tangent."""
-    nhg = t.shape[0] // 3
-    return (t.reshape(3, nhg, 128).transpose(1, 2, 0)
-            .reshape(nhg * 128, 3)[:n_pts])
+def pt_table_from_kernel(t, n_pts, D=3):
+    """(D*nhg, 128) kernel layout -> (n_pts, D) point table."""
+    nhg = t.shape[0] // D
+    return (t.reshape(D, nhg, 128).transpose(1, 2, 0)
+            .reshape(nhg * 128, D)[:n_pts])
 
 
 def _schur_down_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
@@ -764,6 +728,123 @@ def seg_schur_up(J_r, J_p, w, rig_local, pt_local, hib, z, r_bases,
         J_p,
     )
     return y[:n_rows]
+
+
+def _triu_pairs(k):
+    return [(a, b) for a in range(k) for b in range(a, k)]
+
+
+def _precond_rig_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
+                        w_ref, h_ref, jr_ref, jp_ref, y_ref):
+    i, c = pl.program_id(0), pl.program_id(1)
+    base = pl.multiple_of(rbases_ref[i], 8)
+    hb = pl.multiple_of(hib_ref[i], 8)
+
+    @pl.when((i == 0) & (c == 0))
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    # gather the 9 H_ll^-1 entries per observation from the resident table
+    hi, lo = _hi_lo(ploc_ref[0, 0])
+    ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)  # (128, tsc)
+    ohhi = _oh_t(hi, nhw)  # (nhw, tsc) bool
+    Hw = jnp.concatenate(
+        [h_ref[pl.ds(j * nhg + hb, nhw), :] for j in range(9)], axis=0)
+    Gt = _sel_dot(Hw, ohlo, ((1,), (0,)))  # (9*nhw, tsc)
+    Jr = jr_ref[:]  # (d, k, tsc)
+    Jp = jp_ref[:]  # (d, 3, tsc)
+    w = w_ref[0, 0]
+    k, d = Jr.shape[1], Jr.shape[0]
+    H = [jnp.sum(jnp.where(ohhi, Gt[j * nhw:(j + 1) * nhw, :], 0.0),
+                 axis=0).astype(Jr.dtype) for j in range(9)]  # H[b*3+c] (tsc,)
+    Jw = Jr * w[None, None, :]
+    # A[a][b] = sum_d (w Jr)[d,a] Jp[d,b];  C[a][c] = sum_b A[a][b] H[b,c]
+    # (d summed by explicit unroll: Mosaic rejects multi_reduction over a
+    # sliced, offset-laid-out axis)
+    def _dsum(X, a, Y, b):
+        return sum(X[dd, a, :] * Y[dd, b, :] for dd in range(d))
+
+    A = [[_dsum(Jw, a, Jp, b) for b in range(3)] for a in range(k)]
+    C = [[A[a][0] * H[c] + A[a][1] * H[3 + c] + A[a][2] * H[6 + c]
+          for c in range(3)] for a in range(k)]
+    # packed upper triangle of  B - A H A^T,  B[a,b] = sum_d (w Jr)[d,a] Jr[d,b]
+    rows = [_dsum(Jw, a, Jr, b)
+            - (C[a][0] * A[b][0] + C[a][1] * A[b][1] + C[a][2] * A[b][2])
+            for a, b in _triu_pairs(k)]
+    E = jnp.concatenate([r[None, :] for r in rows], axis=0)  # (k(k+1)/2, tsc)
+    ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, tsc)
+    part = _sel_dot(ohr, E, ((1,), (1,)))  # (rb, k(k+1)/2)
+    y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
+                                 + part.astype(y_ref.dtype))
+
+
+def seg_precond_rig(J_r, J_p, w, rig_local, pt_local, hib, hinv, r_bases,
+                    nt, ts, rb, nhw, nhg, n_rows):
+    """(n_rows, k, k) rig-block preconditioner contributions
+        sum_n  w J J^T  -  (J^T w J_p) H_inv (J^T w J_p)^T
+    fused with the per-observation H_ll^-1 gather (hinv (n_pts, 3, 3) held
+    VMEM-resident) — the lambda-dependent Schur self-correction of the
+    block-Jacobi preconditioner without materializing (k, k, N) in HBM."""
+    d, k, _ = J_r.shape
+    pairs = _triu_pairs(k)
+    if not use_pallas(J_r):
+        rows = _to_pt_rows(pt_local, hib, nt, ts)
+        hp = jnp.pad(hinv.reshape(-1, 9), ((0, nhg * 128 - hinv.shape[0]),
+                                           (0, 0)))
+        Hn = hp[rows].reshape(-1, 3, 3)  # (N, 3, 3)
+        Jw = J_r * w[None, None, :]
+        A = jnp.einsum("dan,dbn->abn", Jw, J_p)  # (k, 3, N)
+        corr = jnp.einsum("abn,nbc,dcn->adn", A, Hn, A)
+        B = jnp.einsum("dan,dbn->abn", Jw, J_r)
+        E = (B - corr).reshape(k * k, -1)
+        red = seg_reduce_table(E, rig_local, r_bases, nt, ts, rb, n_rows)
+        return red.reshape(n_rows, k, k)
+    tsc = _schur_chunk(ts, rb, nhw)
+    nc = ts // tsc
+    npad = ((n_rows + rb + 7) // 8) * 8
+    hk = pt_table_to_kernel(hinv.reshape(-1, 9), nhg)  # (9*nhg, 128)
+    ntri = k * (k + 1) // 2
+    y = pl.pallas_call(
+        partial(_precond_rig_kernel, rb, nhw, nhg),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nt, nc),
+            in_specs=[
+                pl.BlockSpec((1, 1, tsc), lambda i, c, b, h: (i, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tsc), lambda i, c, b, h: (i, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tsc), lambda i, c, b, h: (i, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((9 * nhg, 128), lambda i, c, b, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, k, tsc),
+                             lambda i, c, b, h: (0, 0, i * (ts // tsc) + c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, 3, tsc),
+                             lambda i, c, b, h: (0, 0, i * (ts // tsc) + c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((npad, ntri), lambda i, c, b, h: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((npad, ntri), J_r.dtype),
+    )(
+        r_bases.astype(jnp.int32),
+        hib.astype(jnp.int32),
+        rig_local.reshape(nt, 1, ts).astype(jnp.int32),
+        pt_local.reshape(nt, 1, ts).astype(jnp.int32),
+        w.reshape(nt, 1, ts),
+        hk,
+        J_r,
+        J_p,
+    )
+    tri = y[:n_rows]  # (n_rows, k(k+1)/2)
+    import numpy as _np
+    tri_idx = _np.zeros((k, k), _np.int32)
+    for idx, (a, b) in enumerate(pairs):
+        tri_idx[a, b] = tri_idx[b, a] = idx
+    return tri[:, tri_idx.reshape(-1)].reshape(n_rows, k, k)
 
 
 # ---------------------------------------------------------------------------

@@ -451,6 +451,11 @@ def _precond_blocks_static(vis, rest, v, masks):
                     ell, idx, B, blocks[group].shape[0])
     A_rp = []
     for b in vis:
+        if _rig_only_fast(b):
+            # whole rig block (J^T w J - Schur correction) is computed by the
+            # fused per-lambda kernel (seg_precond_rig) — nothing static here
+            A_rp.append(None)
+            continue
         A_b = None
         for group, idx, J, ell in zip(b.groups, b.idx, b.jac, b.ells):
             Jw = J * b.w[None, None, :]
@@ -478,6 +483,13 @@ def _precond_finish(asm: "RcsAsm", v, masks, lam, H_ll_inv):
     damp, mask, invert."""
     blocks = dict(asm.blocks0)
     for b, A in zip(asm.vis, asm.A_rp):
+        if _rig_only_fast(b):
+            (J,) = b.jac
+            blocks[fct.RIG] = blocks[fct.RIG] + seg.seg_precond_rig(
+                J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib,
+                H_ll_inv, b.rb_base, b.info.nt, b.info.ts, b.info.rb,
+                b.info.prb2 // 128, b.info.nhg, blocks[fct.RIG].shape[0])
+            continue
         if A is None:
             continue
         HinvN = H_ll_inv[b.pt_idx]  # (N, 3, 3)
