@@ -135,6 +135,10 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096,
         new["_rb_rows"] = (base[:, None] + np.arange(rb)[None, :]).astype(
             np.int32).reshape(-1)
         new["_rb_base"] = base.astype(np.int32)
+        # lane-major copies of the per-observation constants for the fused
+        # visual linearize kernel (ops/visual_fused.py)
+        new["_uvT"] = np.ascontiguousarray(new["obs_uv"].T)
+        new["_sh4"] = np.ascontiguousarray(new["sqrt_h"].reshape(npad, 4).T)
 
         # per-rig-tile point windows for the single-pass matvec: point ids
         # observed within one rig tile usually span a bounded range (tracks
