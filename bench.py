@@ -56,7 +56,7 @@ def timed_iterations(problem, n_iters, pcg_iters=40):
     from visual_inertial_bundle_adjustment_tpu.problem.structure import t_scale
 
     (k_lin, k_solve, k_resolve, k_cost, k_grad, k_retract,
-     k_assemble) = problem._build()
+     k_assemble, k_step) = problem._build()
     datas = tuple(problem.datas)
     v, masks = problem.variables, problem.masks
     dtype = v.points.dtype
@@ -65,11 +65,8 @@ def timed_iterations(problem, n_iters, pcg_iters=40):
     def one_iter(v):
         lg = k_lin(datas, v, masks, None)
         asm = k_assemble(datas, lg, v, masks)
-        x_r, x_l, model_red, rel, iters, rs, (g_r, g_l) = k_solve(
-            asm, datas, lg, v, masks, lam, pcg_iters, 1e-10
-        )
-        v2, ratios = k_retract(v, t_scale(x_r, -1.0), -x_l, masks, jnp.asarray(1.0, dtype))
-        stats = k_cost(datas, v2, lg)
+        out = k_step(asm, datas, lg, v, masks, lam, pcg_iters, 1e-10)
+        v2, stats = out[7], out[9]
         return v2, stats
 
     # warmup/compile

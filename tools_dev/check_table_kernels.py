@@ -138,6 +138,33 @@ def main():
         J, Jp, w, Hs)
     cmp("seg_precond_rig", pr_t, pr_r, tol=2e-6)
 
+    # fused assembly kernel
+    resv = jnp.asarray(rng.standard_normal((d, npad)), jnp.float32)
+    (ga_t, da_t, gla_t, Ha_t), (ga_r, da_r, gla_r, Ha_r) = run(
+        lambda J, Jp, res, w: seg.seg_assemble_rig(
+            J, Jp, res, w, local, ploc_j, hib_j, bases, n_pts, nt, ts, rb,
+            nhw, nhg, n_rows),
+        J, Jp, resv, w)
+    cmp("seg_assemble_rig.g_r", ga_t, ga_r, tol=2e-6)
+    cmp("seg_assemble_rig.diag", da_t, da_r, tol=2e-6)
+    cmp("seg_assemble_rig.g_l", gla_t, gla_r, tol=2e-6)
+    cmp("seg_assemble_rig.H", Ha_t, Ha_r, tol=2e-6)
+    wres_d = np.asarray(resv) * np.asarray(w)[None, :]
+    keys_d = (np.asarray(local) + np.repeat(np.asarray(bases), ts)).astype(np.int64)
+    ga_d = np.zeros((n_rows, k)); da_d = np.zeros((n_rows, k))
+    np.add.at(ga_d, keys_d, np.einsum("dkn,dn->nk", np.asarray(J), wres_d))
+    np.add.at(da_d, keys_d, np.einsum("dkn,dkn->nk", np.asarray(J),
+                                      np.asarray(J) * np.asarray(w)[None, None, :]))
+    gla_d = np.zeros((n_pts, 3)); Ha_d = np.zeros((n_pts, 3, 3))
+    np.add.at(gla_d, pt_keys, np.einsum("dbn,dn->nb", np.asarray(Jp), wres_d))
+    np.add.at(Ha_d, pt_keys, np.einsum("dan,dbn->nab",
+                                       np.asarray(Jp) * np.asarray(w)[None, None, :],
+                                       np.asarray(Jp)))
+    cmp("assemble.g_r vs dense", ga_t, ga_d)
+    cmp("assemble.diag vs dense", da_t, da_d)
+    cmp("assemble.g_l vs dense", gla_t, gla_d)
+    cmp("assemble.H vs dense", Ha_t, Ha_d)
+
     # dense cross-checks of the Schur kernels
     keys_dense = (np.asarray(local) +
                   np.repeat(np.asarray(bases), ts)).astype(np.int64)

@@ -734,6 +734,128 @@ def _triu_pairs(k):
     return [(a, b) for a in range(k) for b in range(a, k)]
 
 
+def _assemble_rig_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref,
+                         ploc_ref, w_ref, res_ref, jr_ref, jp_ref,
+                         y_ref, tp_ref):
+    i = pl.program_id(0)
+    base = pl.multiple_of(rbases_ref[i], 8)
+    hb = pl.multiple_of(hib_ref[i], 8)
+
+    @pl.when(i == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+        tp_ref[:] = jnp.zeros_like(tp_ref)
+
+    Jr = jr_ref[:]  # (d, k, ts)
+    Jp = jp_ref[:]  # (d, 3, ts)
+    w = w_ref[0, 0]
+    d, k = Jr.shape[0], Jr.shape[1]
+    wres = [res_ref[dd, :] * w for dd in range(d)]  # (d, ts)
+    # rig side: gradient + Hessian diagonal, one (rb, 2k) reduce
+    gr = [sum(Jr[dd, a, :] * wres[dd] for dd in range(d)) for a in range(k)]
+    dg = [sum(Jr[dd, a, :] * Jr[dd, a, :] for dd in range(d)) * w
+          for a in range(k)]
+    C = jnp.concatenate([c[None, :] for c in (gr + dg)], axis=0)  # (2k, ts)
+    ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, ts)
+    part = _sel_dot(ohr, C, ((1,), (1,)))  # (rb, 2k)
+    y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
+                                 + part.astype(y_ref.dtype))
+    # point side: gradient (3) + symmetric landmark block (6), scattered
+    # into the resident (9*nhg, 128) table through the hi/lo hierarchy
+    gl = [sum(Jp[dd, b, :] * wres[dd] for dd in range(d)) for b in range(3)]
+    Ht = [sum(Jp[dd, a, :] * Jp[dd, b, :] for dd in range(d)) * w
+          for a, b in _triu_pairs(3)]
+    hi, lo = _hi_lo(ploc_ref[0, 0])
+    ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)  # (128, ts)
+    ohhi = _oh_t(hi, nhw).astype(w.dtype)  # (nhw, ts)
+    MT = jnp.concatenate([ohhi * c[None, :] for c in (gl + Ht)], axis=0)
+    P = _sel_dot(MT, ohlo, ((1,), (1,)))  # (9*nhw, 128)
+    for j in range(9):
+        tp_ref[pl.ds(j * nhg + hb, nhw), :] = (
+            tp_ref[pl.ds(j * nhg + hb, nhw), :]
+            + P[j * nhw:(j + 1) * nhw].astype(tp_ref.dtype))
+
+
+def seg_assemble_rig(J_r, J_p, res, w, rig_local, pt_local, hib, r_bases,
+                     n_pts, nt, ts, rb, nhw, nhg, n_rows):
+    """All lambda-independent assembly of a rig-only visual batch in ONE
+    pass over the rig grid (J read once):
+      g_r    (n_rows, k): sum J^T w res        (rig gradient)
+      diag_r (n_rows, k): sum diag(J^T w J)    (rig Hessian diagonal)
+      g_l    (n_pts, 3):  sum J_p^T w res      (landmark gradient)
+      H_ll0  (n_pts, 3, 3): sum J_p^T w J_p    (undamped landmark blocks)
+    Replaces the separate point-grid einsum/reduce passes (rcs._grad /
+    _diag / _point_blocks_blocked) for fast batches — no point-sorted J
+    copy, no rig<->point permutes."""
+    d, k, _ = J_r.shape
+    if not use_pallas(J_r):
+        wres = res * w[None, :]
+        g_r = seg_mv_scatter_table(J_r, wres, rig_local, r_bases, nt, ts, rb,
+                                   n_rows)
+        dcontrib = jnp.einsum("dkn,dkn->kn", J_r, J_r * w[None, None, :])
+        diag_r = seg_reduce_table(dcontrib, rig_local, r_bases, nt, ts, rb,
+                                  n_rows)
+        rows = _to_pt_rows(pt_local, hib, nt, ts)
+        gl_c = jnp.einsum("dbn,dn->nb", J_p, wres)
+        Hc = jnp.einsum("dan,dbn->nab", J_p * w[None, None, :], J_p)
+        buf = jnp.zeros((nhg * 128, 12), J_r.dtype)
+        buf = buf.at[rows, :3].add(gl_c)
+        buf = buf.at[rows, 3:].add(Hc.reshape(-1, 9))
+        return (g_r, diag_r, buf[:n_pts, :3],
+                buf[:n_pts, 3:].reshape(n_pts, 3, 3))
+    xpad = ((n_rows + rb + 7) // 8) * 8
+    y, t = pl.pallas_call(
+        partial(_assemble_rig_kernel, rb, nhw, nhg),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((1, 1, ts), lambda i, b, h: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, ts), lambda i, b, h: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, ts), lambda i, b, h: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, ts), lambda i, b, h: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, k, ts), lambda i, b, h: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, 3, ts), lambda i, b, h: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((xpad, 2 * k), lambda i, b, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((9 * nhg, 128), lambda i, b, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((xpad, 2 * k), J_r.dtype),
+            jax.ShapeDtypeStruct((9 * nhg, 128), J_r.dtype),
+        ),
+    )(
+        r_bases.astype(jnp.int32),
+        hib.astype(jnp.int32),
+        rig_local.reshape(nt, 1, ts).astype(jnp.int32),
+        pt_local.reshape(nt, 1, ts).astype(jnp.int32),
+        w.reshape(nt, 1, ts),
+        res,
+        J_r,
+        J_p,
+    )
+    g_r, diag_r = y[:n_rows, :k], y[:n_rows, k:]
+    pt = pt_table_from_kernel(t, n_pts, D=9)  # (n_pts, 9)
+    g_l = pt[:, :3]
+    tri = pt[:, 3:]  # [H00,H01,H02,H11,H12,H22]
+    import numpy as _np
+    tri_idx = _np.zeros((3, 3), _np.int32)
+    for m, (a, b) in enumerate(_triu_pairs(3)):
+        tri_idx[a, b] = tri_idx[b, a] = m
+    H = tri[:, tri_idx.reshape(-1)].reshape(n_pts, 3, 3)
+    return g_r, diag_r, g_l, H
+
+
 def _precond_rig_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
                         w_ref, h_ref, jr_ref, jp_ref, y_ref):
     i, c = pl.program_id(0), pl.program_id(1)

@@ -210,8 +210,30 @@ class Problem:
             ratios = step_to_var_ratios(v, t2, tp * scale)
             return v2, ratios
 
+        # fused happy-path LM attempt: solve + retract + comparable cost +
+        # norms in ONE dispatch — the host loop otherwise pays a tunnel
+        # round-trip per kernel call and per float() scalar read
+        @partial(jax.jit, static_argnames=("max_iters", "precond"))
+        def k_step(asm, datas, lg, v, masks, lam, max_iters, rel_tol,
+                   precond="gauss_seidel"):
+            if blocked:
+                out = _rcs.solve_assembled(asm, v, masks, lam, max_iters,
+                                           rel_tol, precond)
+            else:
+                out = engine.solve_step(cfgs, datas, lg, v, masks, lam,
+                                        max_iters, rel_tol, precond=precond)
+            x_r, x_l, model_red, pcg_rel, pcg_it, rs, (g_r, g_l) = out
+            step_r, step_l = t_scale(x_r, -1.0), -x_l
+            v_new = retract(v, step_r, step_l, masks)
+            ratios = step_to_var_ratios(v, step_r, step_l)
+            stats = engine.comparable_cost(cfgs, datas, v_new, lg)
+            grad_norm = jnp.sqrt(t_dot(g_r, g_r) + jnp.vdot(g_l, g_l))
+            step_norm = jnp.sqrt(t_dot(step_r, step_r) + jnp.vdot(step_l, step_l))
+            return (x_r, x_l, model_red, pcg_rel, pcg_it, rs, (g_r, g_l),
+                    v_new, ratios, stats, grad_norm, step_norm)
+
         self._jits = (k_linearize, k_solve, k_resolve, k_cost, k_grad, k_retract,
-                      k_assemble)
+                      k_assemble, k_step)
         return self._jits
 
     def initial_alive(self):
@@ -224,7 +246,7 @@ class Problem:
 
 def optimize(problem: Problem, settings: LMSettings) -> Summary:
     (k_lin, k_solve, k_resolve, k_cost, k_grad, k_retract,
-     k_assemble) = problem._build()
+     k_assemble, k_step) = problem._build()
     log = settings.log or (lambda s: None)
     datas = tuple(problem.datas)
     masks = problem.masks
@@ -254,39 +276,44 @@ def optimize(problem: Problem, settings: LMSettings) -> Summary:
 
         lg = k_lin(datas, v, masks, alive if dont_retry_failed else None)
         asm = k_assemble(datas, lg, v, masks)
-        prev_cost = float(lg.cost)
-        if initial_cost is None:
-            initial_cost = prev_cost
-        if final_cost is None:
-            final_cost = prev_cost
         if dont_retry_failed:
             alive = lg.valid0
 
-        # solve, with model-cost sanity retry (Optimizer.cpp:835-854)
+        # fused solve + retract + cost, with model-cost sanity retry
+        # (Optimizer.cpp:835-854; on the rare model_red < 0 the retract/cost
+        # computed alongside are discarded). ONE host sync fetches every
+        # scalar of the attempt.
         while True:
-            x_r, x_l, model_red, pcg_rel, pcg_it, rs, (g_r, g_l) = k_solve(
+            (x_r, x_l, model_red, pcg_rel, pcg_it, rs, (g_r, g_l), v_new,
+             (ratio_inf, ratio_2), stats, grad_norm, step_norm) = k_step(
                 asm, datas, lg, v, masks, jnp.asarray(damping), pcg_iters,
                 settings.pcg_tol, settings.preconditioner,
             )
-            model_red = float(model_red)
+            (prev_cost, model_red, pcg_rel_f, pcg_it_f, new_cost, grad_norm,
+             step_norm, ratio_inf, ratio_2, s_inv, s_pinv, s_tot) = (
+                float(x) for x in jax.device_get(
+                    (lg.cost, model_red, pcg_rel, pcg_it, stats.cost,
+                     grad_norm, step_norm, ratio_inf, ratio_2,
+                     stats.num_invalid, stats.num_prev_invalid,
+                     stats.num_total)))
+            pcg_rel, pcg_it = pcg_rel_f, pcg_it_f
+            stats = engine.CostStats(new_cost, s_inv, s_pinv, s_tot)
             if model_red >= 0:
                 break
             damping *= settings.damping_adjust_on_fail
             log(f" ?:# quadratic model failing numerically, retrying... (damping: {damping:g})")
             if damping > settings.damping_max:
                 break
+        if initial_cost is None:
+            initial_cost = prev_cost
+        if final_cost is None:
+            final_cost = prev_cost
         if model_red < 0:
             log("damping out of range, quadratic model failing?!")
             break
 
         # step = -H^-1 g
         step_r, step_l = t_scale(x_r, -1.0), -x_l
-        grad_norm = float(jnp.sqrt(t_dot(g_r, g_r) + jnp.vdot(g_l, g_l)))
-        step_norm = float(jnp.sqrt(t_dot(step_r, step_r) + jnp.vdot(step_l, step_l)))
-
-        v_new, (ratio_inf, ratio_2) = k_retract(v, step_r, step_l, masks, jnp.asarray(1.0))
-        stats = k_cost(datas, v_new, lg)
-        new_cost = float(stats.cost)
         cost_reduction = prev_cost - new_cost
         ratio_reduction_to_cost = cost_reduction / new_cost if new_cost else 0.0
         ratio_reduction_to_expected = cost_reduction / model_red if model_red else 0.0

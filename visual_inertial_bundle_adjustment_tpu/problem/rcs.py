@@ -361,6 +361,8 @@ def _point_blocks_blocked(vis, rest, v, lam):
     L = v.points.shape[0]
     H = jnp.zeros((L, 9), v.points.dtype)
     for b in vis:
+        if _rig_only_fast(b):
+            continue  # fused into seg_assemble_rig (assemble)
         A = jnp.einsum("dan,dbn->abn", b.J_pt_po * b.w_po[None, None, :], b.J_pt_po)
         H = H + reduce_rows(A.reshape(9, -1), b.pt_local, b.pt_base,
                             b.info.pnt, b.info.pts, b.info.prb, L)
@@ -389,6 +391,8 @@ def _grad(vis, rest, v):
     g = {k: g[k] + getattr(g_rest, k) for k in g}
     gp = gp + gp_rest
     for b, lin in vis:
+        if _rig_only_fast(b):
+            continue  # fused into seg_assemble_rig (assemble)
         wres = lin.res * b.w[None, :]  # (d, N)
         for group, idx, J, ell in zip(b.groups, b.idx, b.jac, b.ells):
             contrib = jnp.einsum("dkn,dn->kn", J, wres)
@@ -415,6 +419,8 @@ def _diag(vis, rest, v):
     )
     d = {k: d[k] + getattr(d_rest, k) for k in d}
     for b in vis:
+        if _rig_only_fast(b):
+            continue  # fused into seg_assemble_rig (assemble)
         for group, idx, J, ell in zip(b.groups, b.idx, b.jac, b.ells):
             contrib = jnp.einsum("dkn,dkn->kn", J, J * b.w[None, None, :])
             if group == fct.RIG:
@@ -533,6 +539,20 @@ def assemble(cfgs, datas, lg, v, masks: Masks) -> RcsAsm:
     H_ll0 = _point_blocks_blocked(vis, rest, v, None)
     diag_r = _diag(vis, rest, v)
     g_r, g_l = _grad(pairs, rest, v)
+    # fast batches: gradient + diagonal + landmark blocks in one fused
+    # kernel pass over the rig grid (segments.seg_assemble_rig)
+    for b, lin in pairs:
+        if not _rig_only_fast(b):
+            continue
+        (J,) = b.jac
+        gr_b, dg_b, gl_b, H_b = seg.seg_assemble_rig(
+            J, b.J_pt, lin.res, b.w, b.rb_local, b.rg_pt_local, b.rg_hib,
+            b.rb_base, v.points.shape[0], b.info.nt, b.info.ts, b.info.rb,
+            b.info.prb2 // 128, b.info.nhg, g_r.rig.shape[0])
+        g_r = g_r._replace(rig=g_r.rig + gr_b)
+        diag_r = diag_r._replace(rig=diag_r.rig + dg_b)
+        g_l = g_l + gl_b
+        H_ll0 = H_ll0 + H_b
     blocks0, A_rp = _precond_blocks_static(vis, rest, v, masks)
     return RcsAsm(vis, rest, rest_pt, H_ll0, diag_r, g_r, g_l, A_rp, blocks0)
 
