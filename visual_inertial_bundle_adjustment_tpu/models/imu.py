@@ -319,3 +319,20 @@ def default_noise_model(dtype=None) -> ImuNoiseModel:
         extr_rw_pos_var_per_sec=jnp.full(3, 1e-10, dtype),
         extr_rw_rot_var_per_sec=jnp.full(3, 1e-10 * _PI_REF / 180, dtype),
     )
+
+
+# Per-label accel sample variances hard-coded for the Aria device (reference
+# interfaces/ark/session_data/SessionData.cpp:210-224: imu-left and imu-right
+# get different values; unknown labels keep the default model).
+_ACCEL_SAMPLE_VAR_BY_LABEL = {
+    "imu-left": 7.7951241e-3,
+    "imu-right": 6.6297049e-3,
+}
+
+
+def noise_model_for_label(label: str, dtype=None) -> ImuNoiseModel:
+    m = default_noise_model(dtype)
+    var = _ACCEL_SAMPLE_VAR_BY_LABEL.get(label)
+    if var is None:
+        return m
+    return m._replace(accel_sample_var=jnp.full(3, var, m.accel_sample_var.dtype))

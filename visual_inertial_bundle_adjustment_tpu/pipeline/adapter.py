@@ -37,6 +37,8 @@ from ..problem.optimizer import Problem
 from ..problem.structure import GRAVITY_MAG, VariableTables, full_masks
 from . import triangulation as tri
 from .builder import OBS_SQRT_H, REPROJ_LOSS, chol_inv_lower
+
+REPROJ_LOSS_DEFAULT = REPROJ_LOSS
 from .session_data import SessionData, _q_conj, _q_mul, _q_rot, _se3_inv, _se3_mul
 
 # reference InitCalibration.cpp:162-166
@@ -82,8 +84,21 @@ class AdapterOptions:
     )
     estimate_readout: bool = False  # rolling-shutter cameras only
     estimate_cam_time_offset: bool = False
-    factory_prior_inflate: float = 100.0  # Settings.h:49-52
+    factory_prior_inflate: float = 100.0  # Settings.h:49-52 (global default)
     rw_inflate: float = 1.0
+    # per-group overrides of the two inflates, keyed by group name
+    # cam_intr|cam_extr|imu_calib|imu_extr (reference has one flag per group:
+    # Settings.cpp --{cam-intr,cam-extr,imu-calib,imu-extr}-{fprio,rw}-infl)
+    fprio_inflates: dict = dataclasses.field(default_factory=dict)
+    rw_inflates: dict = dataclasses.field(default_factory=dict)
+    # robust losses (reference Settings.h:41-42,61: --tracking-obs-lrad/lcut,
+    # --imu-lrad/lcut; an infinite radius disables the loss)
+    reproj_loss: tuple = REPROJ_LOSS_DEFAULT
+    imu_loss: tuple = (losses.TRIVIAL, 0.0, 0.0)
+    # optimize only rigs [rig_start, rig_end) of the recording (-1 = open end;
+    # reference main_AriaKit_ViBa.cpp:44-45 + SingleSessionAdapter.cpp:133-142)
+    rig_start: int = -1
+    rig_end: int = -1
     fix_first_rig_gauge: bool = False  # optimization runs gauge-free by default
     rigs_constant: bool = False  # setAllRigsConstant
     use_detector_bias: bool = False
@@ -114,6 +129,10 @@ class SessionAdapter:
         sd = self.sd
         online_ts = np.asarray([c.timestamp_us for c in sd.online], np.int64)
         rig_ts = np.intersect1d(sd.traj_timestamp_us, online_ts)
+        # session subrange [rig_start, rig_end) (SingleSessionAdapter.cpp:133-142)
+        start = max(self.opts.rig_start, 0)
+        end = self.opts.rig_end if self.opts.rig_end >= 0 else len(rig_ts)
+        rig_ts = rig_ts[start:end]
         self.rig_ts_us = rig_ts
         self.R = len(rig_ts)
         if self.R == 0:
@@ -192,6 +211,19 @@ class SessionAdapter:
     def has_time_offset(self, ci):
         c = self.sd.online[0].cameras[ci]
         return self.opts.estimate_cam_time_offset or c.time_offset_sec != 0.0
+
+    def _fprio(self, group):
+        """Factory-prior inflate for a calib group; <= 0 disables the priors
+        (reference guards `if (inflate > 0.0)`, SingleSessionAdapter.cpp:113-126)."""
+        return self.opts.fprio_inflates.get(group, self.opts.factory_prior_inflate)
+
+    def _rw_infl(self, group):
+        return self.opts.rw_inflates.get(group, self.opts.rw_inflate)
+
+    def imu_noise_model(self, ii):
+        """Per-IMU noise model keyed by label (reference hard-codes the Aria
+        per-label accel sample variances, SessionData.cpp:210-224)."""
+        return imu_model.noise_model_for_label(self.sd.online[0].imus[ii].label)
 
     # -- main entry ----------------------------------------------------------
 
@@ -457,7 +489,7 @@ class SessionAdapter:
                 data["rs_tables"] = self._rs_tables
                 h = self.sd.online[0].cameras[ci].image_size[1]
                 problem.add_batch(
-                    fct.BatchCfg(kind="rs_visual", loss=REPROJ_LOSS,
+                    fct.BatchCfg(kind="rs_visual", loss=self.opts.reproj_loss,
                                  camera_kind=self.camera_kind(ci),
                                  label=f"rs_visual_cam{ci}",
                                  image_height=float(h)),
@@ -465,7 +497,7 @@ class SessionAdapter:
                 )
             else:
                 problem.add_batch(
-                    fct.BatchCfg(kind="visual", loss=REPROJ_LOSS,
+                    fct.BatchCfg(kind="visual", loss=self.opts.reproj_loss,
                                  camera_kind=self.camera_kind(ci),
                                  label=f"visual_cam{ci}"),
                     data,
@@ -515,32 +547,43 @@ class SessionAdapter:
         estimates and refresh all inertial batches (the reference's
         --recompute-preint pre-step callback, main_AriaKit_ViBa.cpp:95-101 +
         regenerateAllPreintegrationsFromImuMeasurements)."""
-        noise = imu_model.default_noise_model()
         v = self.problem.variables
         for cfg, data in zip(self.problem.cfgs, self.problem.datas):
             if cfg.kind not in ("inertial", "inertial_secondary"):
                 continue
             ii = 0 if cfg.kind == "inertial" else int(cfg.label.rsplit("imu", 1)[-1])
-            iv, num_steps, base_prevs = self._preint_cache[ii]
+            noise = self.imu_noise_model(ii)
+            buckets, base_prevs = self._preint_cache[ii]
             # batch rows are the build-time-valid subset of the cached
             # intervals; locate them by prev-rig index (both sorted)
             prevs = np.asarray(data["prev_rig"])
-            pos = np.searchsorted(base_prevs, prevs)
-            sub_iv = pre.PreintInterval(
-                iv.gyro_t[pos], iv.gyro_v[pos], iv.accel_t[pos], iv.accel_v[pos],
-                iv.t_len[pos],
-            )
-            calibs = v.imu_calib[data["calib"]]
-            p = pre.preintegrate_batch(calibs, sub_iv, noise, num_steps)
-            data["preint_q"] = p.rvp.q
-            data["preint_dv"] = p.rvp.dV
-            data["preint_dp"] = p.rvp.dP
-            data["preint_dt"] = p.rvp.dt
-            data["preint_J"] = p.J
-            data["calib_eval"] = p.calib_eval
-            data["sqrt_info"] = jnp.where(
-                p.valid[:, None, None], chol_inv_lower(p.cov), data["sqrt_info"]
-            )
+            row_of_prev = {int(p): r for r, p in enumerate(prevs)}
+            for sel, iv, num_steps in buckets:
+                bucket_prevs = base_prevs[sel]
+                keep = np.asarray([int(p) in row_of_prev for p in bucket_prevs])
+                if not keep.any():
+                    continue
+                rows = np.asarray([row_of_prev[int(p)] for p in bucket_prevs[keep]])
+                kidx = jnp.asarray(np.nonzero(keep)[0])
+                sub_iv = pre.PreintInterval(
+                    iv.gyro_t[kidx], iv.gyro_v[kidx], iv.accel_t[kidx],
+                    iv.accel_v[kidx], iv.t_len[kidx],
+                )
+                calibs = v.imu_calib[data["calib"][jnp.asarray(rows)]]
+                p = pre.preintegrate_batch(calibs, sub_iv, noise, num_steps)
+                r = jnp.asarray(rows)
+                data["preint_q"] = data["preint_q"].at[r].set(p.rvp.q)
+                data["preint_dv"] = data["preint_dv"].at[r].set(p.rvp.dV)
+                data["preint_dp"] = data["preint_dp"].at[r].set(p.rvp.dP)
+                data["preint_dt"] = data["preint_dt"].at[r].set(p.rvp.dt)
+                data["preint_J"] = data["preint_J"].at[r].set(p.J)
+                data["calib_eval"] = data["calib_eval"].at[r].set(p.calib_eval)
+                data["sqrt_info"] = data["sqrt_info"].at[r].set(
+                    jnp.where(
+                        p.valid[:, None, None], chol_inv_lower(p.cov),
+                        data["sqrt_info"][r],
+                    )
+                )
 
     def make_pre_step_callback(self, recompute_preint: bool):
         """Pre-step hook for the LM loop (reference preStepCallback)."""
@@ -562,14 +605,19 @@ class SessionAdapter:
             sd.imu_accel[ii],
         )
 
-    def _intervals_for(self, ii, t0s, t1s, slack=0.05):
-        """Padded PreintInterval batch for given [t0, t1] second ranges."""
-        ts, gv, av = None, None, None
+    def _intervals_for(self, ii, t0s, t1s, slack=0.05, S=None):
+        """Padded PreintInterval batch for given [t0, t1] second ranges.
+
+        `S` fixes the per-interval sample padding; by default it covers the
+        LONGEST interval in the call — callers with skewed interval lengths
+        should bucket via _preintegrate_pairs so one 10 s keyframe gap does
+        not pad every pair to 10 s of samples."""
         t_abs, gyro, accel = self._imu_stream(ii)
         # gyro and accel share the time base in EuRoC files
-        span = float((t1s - t0s).max() + 2 * slack)
         rate = 1.0 / max(np.diff(t_abs).min(), 1e-5)
-        S = int(np.ceil(span * rate)) + 4
+        if S is None:
+            span = float((t1s - t0s).max() + 2 * slack)
+            S = int(np.ceil(span * rate)) + 4
 
         def window(t0):
             i0 = max(np.searchsorted(t_abs, t0 - slack), 0)
@@ -595,6 +643,46 @@ class SessionAdapter:
         )
         return iv, 2 * S + 4
 
+    def _preintegrate_pairs(self, ii, t0s, t1s, calibs, noise, slack=0.05):
+        """Bucketed batched preintegration over [t0, t1] pairs.
+
+        Intervals are grouped by the pow-2 bucket of their ACTUAL sample
+        count and each bucket is padded only to its own size — host memory
+        stays O(sum of real samples), fixing the blowup where the widest
+        keyframe gap set the padding for every pair. Returns the merged
+        Preintegration (original order) and the bucket list used by
+        recompute_preintegrations."""
+        t_abs, _, _ = self._imu_stream(ii)
+        rate = 1.0 / max(np.diff(t_abs).min(), 1e-5)
+        need = np.ceil((np.asarray(t1s) - np.asarray(t0s) + 2 * slack) * rate) + 4
+        S = np.maximum(
+            2 ** np.ceil(np.log2(np.maximum(need, 1))).astype(np.int64), 8
+        )
+        n = len(t0s)
+        buckets = []
+        results, sels = [], []
+        for s_val in np.unique(S):
+            sel = np.nonzero(S == s_val)[0]
+            iv, num_steps = self._intervals_for(
+                ii, np.asarray(t0s)[sel], np.asarray(t1s)[sel], slack=slack,
+                S=int(s_val),
+            )
+            p = pre.preintegrate_batch(calibs[jnp.asarray(sel)], iv, noise, num_steps)
+            buckets.append((sel, iv, num_steps))
+            results.append(p)
+            sels.append(sel)
+        if len(results) == 1:
+            return results[0], buckets
+
+        def merge(*xs):
+            x0 = np.asarray(xs[0])
+            out = np.zeros((n,) + x0.shape[1:], x0.dtype)
+            for sel, x in zip(sels, xs):
+                out[sel] = np.asarray(x)
+            return jnp.asarray(out)
+
+        return jax.tree_util.tree_map(merge, *results), buckets
+
     def _add_inertial(self, problem, imu_calib_init):
         sd = self.sd
         R, nI, W = self.R, self.num_imus, self.num_windows
@@ -605,16 +693,17 @@ class SessionAdapter:
         nxt = prev + 1
         if len(prev) == 0:
             return
-        noise = imu_model.default_noise_model()
         self._omega_meas = {}
         self._preint_cache = {}
 
         for ii in range(nI):
-            iv, num_steps = self._intervals_for(ii, rig_t[prev], rig_t[nxt])
+            noise = self.imu_noise_model(ii)
             calib_rows = self.rig_window[prev] * nI + ii
             calibs = jnp.asarray(imu_calib_init[calib_rows])
-            p = pre.preintegrate_batch(calibs, iv, noise, num_steps)
-            self._preint_cache[ii] = (iv, num_steps, prev)
+            p, buckets = self._preintegrate_pairs(
+                ii, rig_t[prev], rig_t[nxt], calibs, noise
+            )
+            self._preint_cache[ii] = (buckets, prev)
             ok = np.asarray(p.valid)
             if not ok.all():
                 self.log(f"imu {ii}: {int((~ok).sum())} invalid preint intervals dropped")
@@ -639,7 +728,9 @@ class SessionAdapter:
                 "sqrt_info": sqrt_info,
             }
             if ii == 0:
-                problem.add_batch(fct.BatchCfg(kind="inertial", label="inertial"), common)
+                problem.add_batch(
+                    fct.BatchCfg(kind="inertial", loss=self.opts.imu_loss,
+                                 label="inertial"), common)
             else:
                 n_sec = nI - 1
                 common["prev_extr"] = jnp.asarray(
@@ -649,7 +740,8 @@ class SessionAdapter:
                     self.rig_window[nxt[sel]] * n_sec + (ii - 1), jnp.int32
                 )
                 problem.add_batch(
-                    fct.BatchCfg(kind="inertial_secondary", label=f"inertial_imu{ii}"), common
+                    fct.BatchCfg(kind="inertial_secondary", loss=self.opts.imu_loss,
+                                 label=f"inertial_imu{ii}"), common
                 )
 
     def _add_random_walks(self, problem):
@@ -665,10 +757,11 @@ class SessionAdapter:
         # imu calib RW
         if opts.estimate_imu_calib:
             prevs, nxts, shs = [], [], []
-            rw_rate = np.asarray(noise.rw_var_per_sec)
+            infl = self._rw_infl("imu_calib")
             for ii in range(nI):
+                rw_rate = np.asarray(self.imu_noise_model(ii).rw_var_per_sec)
                 for w in range(W - 1):
-                    q = rw_rate * dts[w] * opts.rw_inflate**2
+                    q = rw_rate * dts[w] * infl**2
                     sh = np.where(self.imu_calib_mask, 1.0 / np.sqrt(np.maximum(q, 1e-30)), 0.0)
                     prevs.append(w * nI + ii)
                     nxts.append((w + 1) * nI + ii)
@@ -682,6 +775,7 @@ class SessionAdapter:
         # camera intrinsics RW
         if opts.estimate_cam_intr:
             prevs, nxts, shs = [], [], []
+            infl = self._rw_infl("cam_intr")
             for ci in range(nC):
                 n_model = cam_ops.NUM_MODEL_PARAMS[self.camera_kind(ci)]
                 n_proj = 3 if self.camera_kind(ci) == cam_ops.KIND_FISHEYE624 else 4
@@ -691,7 +785,7 @@ class SessionAdapter:
                 q[cam_ops.READOUT] = CAM_TIME_RW_VAR
                 q[cam_ops.TIME_OFFSET] = CAM_TIME_RW_VAR
                 for w in range(W - 1):
-                    sh = 1.0 / np.sqrt(np.maximum(q * dts[w] * opts.rw_inflate**2, 1e-30))
+                    sh = 1.0 / np.sqrt(np.maximum(q * dts[w] * infl**2, 1e-30))
                     sh[n_model:cam_ops.READOUT] = 0.0
                     prevs.append(w * nC + ci)
                     nxts.append((w + 1) * nC + ci)
@@ -705,12 +799,13 @@ class SessionAdapter:
         # camera extrinsics RW
         if opts.estimate_cam_extr:
             prevs, nxts, shs = [], [], []
+            infl = self._rw_infl("cam_extr")
             for ci in range(nC):
                 for w in range(W - 1):
                     q = np.concatenate([
                         np.full(3, CAM_EXTR_RW_VAR_POS * dts[w]),
                         np.full(3, CAM_EXTR_RW_VAR_ROT * dts[w]),
-                    ]) * opts.rw_inflate**2
+                    ]) * infl**2
                     prevs.append(w * nC + ci)
                     nxts.append((w + 1) * nC + ci)
                     shs.append(1.0 / np.sqrt(q))
@@ -723,12 +818,13 @@ class SessionAdapter:
         # imu extrinsics RW (secondary imus)
         if opts.estimate_imu_extr and n_sec:
             prevs, nxts, shs = [], [], []
+            infl = self._rw_infl("imu_extr")
             pos_rate = np.asarray(noise.extr_rw_pos_var_per_sec)
             rot_rate = np.asarray(noise.extr_rw_rot_var_per_sec)
             for ii in range(n_sec):
                 for w in range(W - 1):
                     q = np.concatenate([pos_rate * dts[w], rot_rate * dts[w]])
-                    q = q * opts.rw_inflate**2
+                    q = q * infl**2
                     prevs.append(w * n_sec + ii)
                     nxts.append((w + 1) * n_sec + ii)
                     shs.append(1.0 / np.sqrt(q))
@@ -744,11 +840,12 @@ class SessionAdapter:
         sd = self.sd
         W, nC, nI = self.num_windows, self.num_cams, self.num_imus
         n_sec = max(nI - 1, 0)
-        inflate = opts.factory_prior_inflate
         noise = imu_model.default_noise_model()
         counts = np.bincount(self.rig_window, minlength=W)  # rigs per window
 
-        if opts.estimate_cam_intr:
+        # an inflate <= 0 disables the group's priors entirely, matching the
+        # reference `if (inflate > 0.0)` guards (SingleSessionAdapter.cpp:113-126)
+        if opts.estimate_cam_intr and (inflate := self._fprio("cam_intr")) > 0:
             idxs, refs, shs = [], [], []
             for ci in range(nC):
                 fci = self.cam_to_factory[ci]
@@ -779,7 +876,7 @@ class SessionAdapter:
                  "sqrt_h": jnp.asarray(np.stack(shs))},
             )
 
-        if opts.estimate_cam_extr:
+        if opts.estimate_cam_extr and (inflate := self._fprio("cam_extr")) > 0:
             idxs, rq, rt, shs = [], [], [], []
             for ci in range(nC):
                 fci = self.cam_to_factory[ci]
@@ -798,7 +895,7 @@ class SessionAdapter:
                  "ref_t": jnp.asarray(np.stack(rt)), "sqrt_h": jnp.asarray(np.stack(shs))},
             )
 
-        if opts.estimate_imu_calib:
+        if opts.estimate_imu_calib and (inflate := self._fprio("imu_calib")) > 0:
             idxs, refs, shs = [], [], []
             std = np.asarray(noise.turnon_std)
             for ii in range(nI):
@@ -817,7 +914,7 @@ class SessionAdapter:
                  "sqrt_h": jnp.asarray(np.stack(shs))},
             )
 
-        if opts.estimate_imu_extr and n_sec:
+        if opts.estimate_imu_extr and n_sec and (inflate := self._fprio("imu_extr")) > 0:
             idxs, rq, rt, shs = [], [], [], []
             std = np.concatenate([
                 np.asarray(noise.extr_turnon_pos_std), np.asarray(noise.extr_turnon_rot_std)

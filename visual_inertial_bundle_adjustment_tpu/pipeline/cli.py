@@ -133,6 +133,12 @@ def build_arg_parser():
     p.add_argument("--recompute-preint", action="store_true")
     # debugging / reports
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--debug-nonlinearities-at", type=int, default=-1,
+                   help="trigger the factor-nonlinearity debugger at this "
+                        "iteration (-1 = disabled; reference Settings.cpp:285)")
+    p.add_argument("--verify-jacobians", action="store_true",
+                   help="numeric-vs-analytic Jacobian check over a factor "
+                        "sample of every batch before optimizing")
     p.add_argument("--json-report", default=None)
     p.add_argument("--monitor-html", default=None,
                    help="write a self-contained HTML dashboard (GUI analog)")
@@ -147,17 +153,12 @@ def build_arg_parser():
 NUM_RIGS_FOR_ITERATIVE = 20000
 
 
-def main(argv=None):
-    args = build_arg_parser().parse_args(argv)
+def make_adapter_options(args, gt_traj=None):
+    """Flag vocabulary -> AdapterOptions (reference Settings.cpp:71-294)."""
+    import math
 
-    from ..problem.optimizer import LMSettings, optimize
-    from . import session_data as sio
-    from .adapter import AdapterOptions, SessionAdapter
-
-    log = print
-    t0 = time.time()
-    log("Loading...")
-    sd = sio.load_session(args.input_dir)
+    from ..ops import losses
+    from .adapter import AdapterOptions
 
     traj_tokens = {"pose", "vel", "omega", "all"}
     traj_const = tuple(t for t, on in each_token(args.trajectory_constant) if on)
@@ -165,6 +166,63 @@ def main(argv=None):
     for t in (*traj_const, *traj_to_gt):
         if t not in traj_tokens:
             raise SystemExit(f"unknown trajectory token: {t}")
+
+    const = parse_calib_groups(args.calib_constant)
+    fact = parse_calib_groups(args.calib_factory)
+
+    def huber_or_trivial(lrad, lcut):
+        # an infinite radius disables the robust loss (Constants.h:24: the
+        # default IMU loss radius is infinity)
+        if math.isinf(lrad):
+            return (losses.TRIVIAL, 0.0, 0.0)
+        return (losses.HUBER_CUTOFF, lrad, lcut)
+
+    # --no-fprio zeroes every group inflate (Settings.cpp:36-43)
+    if args.no_fprio:
+        fprio = dict(cam_intr=0.0, cam_extr=0.0, imu_calib=0.0, imu_extr=0.0)
+    else:
+        fprio = dict(
+            cam_intr=args.cam_intr_fprio_infl, cam_extr=args.cam_extr_fprio_infl,
+            imu_calib=args.imu_calib_fprio_infl, imu_extr=args.imu_extr_fprio_infl,
+        )
+    rw_infl = dict(
+        cam_intr=args.cam_intr_rw_infl, cam_extr=args.cam_extr_rw_infl,
+        imu_calib=args.imu_calib_rw_infl, imu_extr=args.imu_extr_rw_infl,
+    )
+    return AdapterOptions(
+        estimate_cam_intr=not (const["cam_intr"] or fact["cam_intr"]),
+        estimate_cam_extr=not (const["cam_extr"] or fact["cam_extr"]),
+        estimate_imu_calib=not (const["imu_calib"] or fact["imu_calib"]),
+        estimate_imu_extr=not (const["imu_extr"] or fact["imu_extr"]),
+        factory_init=any(fact.values()),
+        imu_options=parse_imu_options(args.imu_calib_estimation_options),
+        estimate_readout=args.estimate_readout_time,
+        estimate_cam_time_offset=args.estimate_time_offset,
+        fprio_inflates=fprio,
+        rw_inflates=rw_infl,
+        reproj_loss=huber_or_trivial(args.tracking_obs_lrad, args.tracking_obs_lcut),
+        imu_loss=huber_or_trivial(args.imu_lrad, args.imu_lcut),
+        rig_start=args.rig_start,
+        rig_end=args.rig_end,
+        trajectory_constant=traj_const,
+        trajectory_to_gt=traj_to_gt,
+        gt_trajectory=gt_traj,
+        use_detector_bias=args.optimize_detector_bias,
+    )
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+
+    from ..problem.optimizer import LMSettings, optimize
+    from . import session_data as sio
+    from .adapter import SessionAdapter
+
+    log = print
+    t0 = time.time()
+    log("Loading...")
+    sd = sio.load_session(args.input_dir)
+
     gt_traj = None
     if args.gt_trajectory_base_name:
         from .init_rigs import InterpolatedTrajectory
@@ -175,27 +233,10 @@ def main(argv=None):
             use_closed="closed" in args.gt_trajectory_base_name,
         )
         gt_traj = InterpolatedTrajectory(g_ts, g_q, g_t, g_vel, g_om)
-    elif traj_to_gt:
+    elif tuple(t for t, on in each_token(args.trajectory_to_gt) if on):
         raise SystemExit("--trajectory-to-gt requires --gt-trajectory-base-name")
 
-    const = parse_calib_groups(args.calib_constant)
-    fact = parse_calib_groups(args.calib_factory)
-    opts = AdapterOptions(
-        estimate_cam_intr=not (const["cam_intr"] or fact["cam_intr"]),
-        estimate_cam_extr=not (const["cam_extr"] or fact["cam_extr"]),
-        estimate_imu_calib=not (const["imu_calib"] or fact["imu_calib"]),
-        estimate_imu_extr=not (const["imu_extr"] or fact["imu_extr"]),
-        factory_init=any(fact.values()),
-        imu_options=parse_imu_options(args.imu_calib_estimation_options),
-        estimate_readout=args.estimate_readout_time,
-        estimate_cam_time_offset=args.estimate_time_offset,
-        factory_prior_inflate=0.0 if args.no_fprio else args.imu_calib_fprio_infl,
-        rw_inflate=args.imu_calib_rw_infl,
-        trajectory_constant=traj_const,
-        trajectory_to_gt=traj_to_gt,
-        gt_trajectory=gt_traj,
-        use_detector_bias=args.optimize_detector_bias,
-    )
+    opts = make_adapter_options(args, gt_traj)
     log("Creating problem...")
     adapter = SessionAdapter(sd, opts, log=log)
     problem = adapter.build()
@@ -216,17 +257,32 @@ def main(argv=None):
         hist.show_histograms(problem, log=log)
     if args.simple_stats:
         hist.summarize(problem, log=log)
+    if args.verify_jacobians:
+        from ..problem.verify import verify_jacobians
+
+        verify_jacobians(problem, log=log)
 
     summary = None
     if not args.dont_optimize:
         from ..problem.optimizer import pick_solver
+
+        base_cb = adapter.make_pre_step_callback(args.recompute_preint)
+        if args.debug_nonlinearities_at >= 0:
+            from ..problem.verify import debug_nonlinearities
+
+            def pre_step(iteration, prob, _base=base_cb):
+                _base(iteration, prob)
+                if iteration == args.debug_nonlinearities_at:
+                    debug_nonlinearities(prob, log=log)
+        else:
+            pre_step = base_cb
 
         settings = pick_solver(
             LMSettings(
                 max_iterations=args.max_num_iterations,
                 pcg_max_iterations=args.pcg_max_iterations,
                 log=log if args.verbose else None,
-                pre_step_callback=adapter.make_pre_step_callback(args.recompute_preint),
+                pre_step_callback=pre_step,
             ),
             adapter.R,
             args.linear_solver,
@@ -263,6 +319,11 @@ def main(argv=None):
         )
         if args.verbose:
             hist.show_histograms(problem, log=log)
+
+    if args.eval_calib_vs_factory:
+        from .eval_calibration import compare_calibration_vs_factory
+
+        compare_calibration_vs_factory(adapter, log=log)
 
     # outputs
     if args.output_dir:

@@ -9,6 +9,8 @@ batch of damped 3x3 solves with a cost-increase step-halving retry.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -32,6 +34,10 @@ def _point_cost_grad_hess(problem, points):
         spec = fct.REGISTRY[cfg.kind]
         if not any(g == fct.POINTS for g, _ in spec["tangents"]):
             continue
+        # only the 3 landmark tangent columns are needed — dropping every
+        # other group skips their forward-AD columns entirely (the reference
+        # passes NullRefs for non-point Jacobians, PointRefinement.cpp:96-158)
+        cfg = dataclasses.replace(cfg, active_groups=(fct.POINTS,))
         lin = fct.linearize_batch(cfg, data, v, problem.masks)
         s = jnp.sum(lin.res * lin.res, axis=0)
         kind, a, k = cfg.loss

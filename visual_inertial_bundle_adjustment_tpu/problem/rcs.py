@@ -488,19 +488,32 @@ def _precond_blocks_static(vis, rest, v, masks):
     return blocks, tuple(A_rp)
 
 
-def _precond_finish(asm: "RcsAsm", v, masks, lam, H_ll_inv):
+def _precond_finish(asm: "RcsAsm", v, masks, lam, H_ll_inv, precond="gauss_seidel"):
     """Per-lambda: subtract the Schur self-correction from the rig blocks,
-    damp, mask, invert."""
+    damp, mask, invert.
+
+    `precond` selects the family (reference Preconditioner.h): "identity"
+    returns None (no preconditioning); "jacobi" keeps plain block-Jacobi
+    (no Schur correction); "gauss_seidel"/"lower_prec" apply the Schur
+    self-correction (the bf16 block accumulation of _precond_blocks_static
+    already IS the lower-precision trade of LowerPrecSolvePrecond)."""
+    if precond == "identity":
+        return None
+    schur_corr = precond in ("gauss_seidel", "lower_prec")
     blocks = dict(asm.blocks0)
     for b, A in zip(asm.vis, asm.A_rp):
         if _rig_only_fast(b):
             (J,) = b.jac
+            # with the correction disabled the fused kernel still produces
+            # the plain J^T w J rig blocks (H_ll_inv of zero zeroes the
+            # subtracted term exactly)
+            Hinv_used = H_ll_inv if schur_corr else jnp.zeros_like(H_ll_inv)
             blocks[fct.RIG] = blocks[fct.RIG] + seg.seg_precond_rig(
                 J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib,
-                H_ll_inv, b.rb_base, b.info.nt, b.info.ts, b.info.rb,
+                Hinv_used, b.rb_base, b.info.nt, b.info.ts, b.info.rb,
                 b.info.prb2 // 128, b.info.nhg, blocks[fct.RIG].shape[0])
             continue
-        if A is None:
+        if A is None or not schur_corr:
             continue
         HinvN = H_ll_inv[b.pt_idx]  # (N, 3, 3)
         corr = jnp.einsum("abn,nbc,dcn->adn", A, HinvN, A)
@@ -557,14 +570,14 @@ def assemble(cfgs, datas, lg, v, masks: Masks) -> RcsAsm:
     return RcsAsm(vis, rest, rest_pt, H_ll0, diag_r, g_r, g_l, A_rp, blocks0)
 
 
-def with_damping(asm: RcsAsm, v, masks, lam) -> RcsSystem:
+def with_damping(asm: RcsAsm, v, masks, lam, precond="gauss_seidel") -> RcsSystem:
     """Per-lambda completion: damped landmark inverses + preconditioner."""
     lam = jnp.asarray(lam, v.points.dtype)
     diag = jnp.diagonal(asm.H_ll0, axis1=-2, axis2=-1)
     eye = jnp.eye(3, dtype=asm.H_ll0.dtype)
     H_ll = asm.H_ll0 + eye * (lam * diag + lam)[..., None, :] * eye
     H_ll_inv = engine._inv3(H_ll)
-    precond_inv = _precond_finish(asm, v, masks, lam, H_ll_inv)
+    precond_inv = _precond_finish(asm, v, masks, lam, H_ll_inv, precond)
     return RcsSystem(asm.vis, asm.rest, asm.rest_pt, H_ll, H_ll_inv,
                      asm.diag_r, lam, precond_inv)
 
@@ -714,6 +727,8 @@ def matvec(rs: RcsSystem, v, x: Tangent) -> Tangent:
 
 def _apply_precond(rs: RcsSystem, r: Tangent) -> Tangent:
     p = rs.precond_inv
+    if p is None:  # IdentityPrecond (Preconditioner.h:44-50)
+        return r
     return Tangent(
         rig=jnp.einsum("nij,nj->ni", p.rig, r.rig),
         cam_intr=jnp.einsum("nij,nj->ni", p.cam_intr, r.cam_intr),
@@ -755,10 +770,10 @@ def pcg(rs: RcsSystem, v, b: Tangent, max_iters: int, rel_tol):
 
 def solve_assembled(asm: RcsAsm, v, masks, lam, max_iters=250, rel_tol=1e-10,
                     precond="gauss_seidel"):
-    """Per-lambda solve on a prebuilt assembly. (The preconditioner family
-    collapses to the Schur-corrected block-Jacobi here — already the cheapest
-    of the useful options on this path.)"""
-    rs = with_damping(asm, v, masks, lam)
+    """Per-lambda solve on a prebuilt assembly; `precond` picks the
+    preconditioner family exactly as on the generic path
+    (engine.build_reduced_system)."""
+    rs = with_damping(asm, v, masks, lam, precond)
     g_r, g_l = asm.g_r, asm.g_l
     z = engine._chol_solve(rs.H_ll_inv, g_l)
     b = jax.tree_util.tree_map(jnp.subtract, g_r, w_y(rs, v, z))
