@@ -1,13 +1,18 @@
 """Benchmark: LM iterations/sec of the full VI-BA step on real hardware.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-The workload is a synthetic 2-minute Aria-like session (10 Hz keyframes,
-IMU preintegration, landmark Schur + PCG) built entirely on-device; the timed
-unit is one full LM iteration: linearize all factor batches -> build the
-Schur-reduced system -> 40-iteration block-Jacobi PCG -> back-substitute ->
-retract -> comparable cost (the reference's per-iteration work,
-Optimizer.cpp:768-1106, at its default PCG budget).
+Two configs, both timed as one full LM iteration (linearize -> assemble ->
+40-iteration PCG Schur solve -> retract -> comparable cost — the reference's
+per-iteration work, Optimizer.cpp:768-1106, at its default PCG budget):
+
+  1. headline — 2-minute session, 10 Hz keyframes, IMU bias estimation
+     (BASELINE config-1/2 shape); `value` + `vs_baseline`.
+  2. extra.full_sensor_iters_per_sec — BASELINE config-3/4 shape: 10-minute
+     session through the FULL session pipeline (files -> SessionAdapter),
+     rolling-shutter camera with readout + time-offset estimation, dual IMU,
+     ALL calibration groups random-walking over 5 s windows with factory
+     priors and omega priors.
 
 vs_baseline: speedup vs THE SAME algorithm run on the host CPU in a
 subprocess (the stand-in for the reference's single-socket CPU baseline until
@@ -19,6 +24,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 DURATION = 120.0
@@ -26,6 +32,9 @@ KEYFRAME_HZ = 10.0
 NUM_POINTS = 1500
 TIMED_ITERS = 10
 CPU_TIMED_ITERS = 2
+FULL_DURATION = 600.0
+FULL_POINTS = 800
+FULL_TIMED_ITERS = 5
 
 
 def build_problem():
@@ -47,6 +56,30 @@ def build_problem():
             imu_calib_options=dict(accelBias=True, gyroBias=True),
         ),
     )
+
+
+def build_full_sensor_problem(tmpdir):
+    """BASELINE config-3/4 shape via the full session pipeline."""
+    from visual_inertial_bundle_adjustment_tpu.pipeline import session_data as sio
+    from visual_inertial_bundle_adjustment_tpu.pipeline.adapter import (
+        AdapterOptions,
+        SessionAdapter,
+    )
+    from visual_inertial_bundle_adjustment_tpu.pipeline.synthetic import SyntheticSession
+    from visual_inertial_bundle_adjustment_tpu.pipeline.synthetic_io import write_session_dir
+
+    s = SyntheticSession(
+        duration=FULL_DURATION, keyframe_hz=KEYFRAME_HZ, gyro_hz=800.0,
+        accel_hz=800.0, num_points=FULL_POINTS, seed=23, pixel_noise=0.3,
+    )
+    write_session_dir(s, tmpdir, num_imus=2, readout_time_sec=0.03, seed=23)
+    sd = sio.load_session(tmpdir)
+    adapter = SessionAdapter(
+        sd,
+        AdapterOptions(estimate_readout=True, estimate_cam_time_offset=True),
+        log=lambda *a: None,
+    )
+    return adapter.build()
 
 
 def timed_iterations(problem, n_iters, pcg_iters=40):
@@ -109,8 +142,20 @@ def run_cpu_subprocess():
     return None
 
 
+def run_full_sensor():
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            problem = build_full_sensor_problem(tmp)
+        ips, _ = timed_iterations(problem, FULL_TIMED_ITERS)
+        return ips
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"full-sensor config failed: {e}\n")
+        return None
+
+
 def main():
     ips = run_device()
+    full_ips = run_full_sensor()
     cpu_ips = run_cpu_subprocess()
     vs = ips / cpu_ips if cpu_ips else None
     print(
@@ -120,6 +165,12 @@ def main():
                 "value": round(ips, 4),
                 "unit": "iters/s",
                 "vs_baseline": round(vs, 3) if vs else None,
+                "extra": {
+                    "full_sensor_10min_iters_per_sec": (
+                        round(full_ips, 4) if full_ips else None
+                    ),
+                    "cpu_iters_per_sec": round(cpu_ips, 4) if cpu_ips else None,
+                },
             }
         )
     )

@@ -71,6 +71,7 @@ def test_calib_token_dsl():
     assert not (o2.estimate_cam_intr or o2.estimate_cam_extr or o2.estimate_imu_extr)
 
 
+@pytest.mark.slow
 def test_no_fprio_removes_prior_batches(session_dir):
     sd = sio.load_session(session_dir)
     base = ["--calib-constant", "cam-intr"]
@@ -92,6 +93,7 @@ def test_no_fprio_removes_prior_batches(session_dir):
                 assert np.isfinite(sh).all() and sh.max() < 1e12, cfg.kind
 
 
+@pytest.mark.slow
 def test_per_group_fprio_inflate_scales_weights(session_dir):
     sd = sio.load_session(session_dir)
     a1 = SessionAdapter(sd, _opts(["--imu-calib-fprio-infl", "100"]), log=None)
@@ -150,6 +152,7 @@ def test_per_imu_noise_models(session_dir):
     assert not np.allclose(a[:, 3:, 3:], b[:, 3:, 3:], rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_preint_bucketing_matches_unbucketed(session_dir):
     """Skewed interval lengths: pow-2 bucketed preintegration must agree with
     the single-padding path while padding each pair only to its bucket."""
@@ -183,6 +186,7 @@ def test_preint_bucketing_matches_unbucketed(session_dir):
     assert np.asarray(p_b.valid).all()
 
 
+@pytest.mark.slow
 def test_recompute_preintegrations_roundtrip(session_dir):
     """recompute_preintegrations at the unchanged calibration must reproduce
     the build-time preintegrations (exercises the bucketed recompute path)."""
@@ -205,6 +209,7 @@ def test_recompute_preintegrations_roundtrip(session_dir):
                 )
 
 
+@pytest.mark.slow
 def test_cli_main_end_to_end(session_dir, tmp_path, capsys):
     out = tmp_path / "out"
     report = tmp_path / "report.json"

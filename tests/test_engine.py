@@ -92,6 +92,7 @@ def dense_reference(problem):
     return H, g, lg, J
 
 
+@pytest.mark.slow
 def test_gradient_matches_dense(small_problem):
     H, g, lg, _ = dense_reference(small_problem)
     v = small_problem.variables
@@ -100,6 +101,7 @@ def test_gradient_matches_dense(small_problem):
     np.testing.assert_allclose(g_engine, g, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_matvec_and_schur_solve_match_dense(small_problem):
     H, g, lg, _ = dense_reference(small_problem)
     v = small_problem.variables
@@ -155,6 +157,7 @@ def test_matvec_and_schur_solve_match_dense(small_problem):
     np.testing.assert_allclose(x_engine, x_dense, atol=2e-5 * scale)
 
 
+@pytest.mark.slow
 def test_lm_recovers_ground_truth():
     # a better-conditioned session than the dense-check fixture: enough
     # observations per landmark that the ML solution is close to ground truth

@@ -48,6 +48,7 @@ def _dense_hessian(problem, lam):
     return Hd, g
 
 
+@pytest.mark.slow
 def test_rig_covariance_matches_dense(problem):
     lam = 1e-7
     with covariance.with_gauge_prior(problem):
@@ -85,6 +86,7 @@ def test_rig_covariance_matches_dense(problem):
     np.testing.assert_allclose(cov, dense_block, atol=3e-5 * scale)
 
 
+@pytest.mark.slow
 def test_condensed_factor_reproduces_marginal(problem):
     rigs = [5, 6]
     Hm, b = condensed.marginalize_onto_rigs(problem, rigs, lam=1e-7)
@@ -149,6 +151,7 @@ def _masks_rel(problem, base, rigs):
     )
 
 
+@pytest.mark.slow
 def test_relative_condensed_factor_gauge_invariant(problem):
     """Reference TestCondensedFactor.cpp:335-774 (proxy re-injection): the
     relative condensed factor's residual is invariant under a rigid world
@@ -181,6 +184,7 @@ def test_relative_condensed_factor_gauge_invariant(problem):
     np.testing.assert_allclose(res1, res0, atol=1e-6 * scale)
 
 
+@pytest.mark.slow
 def test_relative_condensed_factor_reproduces_marginal(problem):
     """GN step of the condensed-only problem (base pose fixed) matches the
     full problem's step under the same gauge."""
@@ -223,6 +227,7 @@ if __name__ == "__main__":
     pytest.main([__file__, "-v"])
 
 
+@pytest.mark.slow
 def test_update_under_conditioning_matches_dense(problem):
     """Conditioned update: free variables move to the conditional optimum
     -H_oo^-1 H_oc u of the damped quadratic model (reference
@@ -298,6 +303,7 @@ def test_update_under_conditioning_matches_dense(problem):
         np.testing.assert_allclose(a, b, atol=2e-3 * scale, err_msg=name)
 
 
+@pytest.mark.slow
 def test_calib_covariances_blocks():
     """Per-calibration-window joint covariance blocks over the ENABLED dims
     only (reference SingleSessionProblem::computeCovariances :66-138)."""

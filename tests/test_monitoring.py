@@ -6,6 +6,7 @@ import json
 import pathlib
 
 import numpy as np
+import pytest
 
 from visual_inertial_bundle_adjustment_tpu.pipeline.builder import (
     BuildOptions,
@@ -24,6 +25,7 @@ def _problem():
                         init_vel_noise=0.04))
 
 
+@pytest.mark.slow
 def test_monitor_captures_iterations(tmp_path: pathlib.Path):
     problem = _problem()
     mon = monitoring.Monitor(snapshot_every=2, jsonl_path=str(tmp_path / "m.jsonl"))
@@ -64,6 +66,7 @@ def test_monitor_captures_iterations(tmp_path: pathlib.Path):
         assert "calib:" in html
 
 
+@pytest.mark.slow
 def test_background_runner():
     problem = _problem()
     mon = monitoring.Monitor(snapshot_every=0)

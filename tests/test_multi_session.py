@@ -30,6 +30,7 @@ def _mk(seed):
     return s, p
 
 
+@pytest.mark.slow
 def test_merge_and_joint_optimize():
     s1, p1 = _mk(31)
     s2, p2 = _mk(32)
@@ -53,6 +54,7 @@ def test_merge_and_joint_optimize():
     )
 
 
+@pytest.mark.slow
 def test_merge_with_point_matches_and_base_map():
     s1, p1 = _mk(41)
     s2, p2 = _mk(42)

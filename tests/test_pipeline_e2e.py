@@ -53,6 +53,7 @@ def test_load_session(session_dir):
     assert len(sd.obs_point_id) > 200
 
 
+@pytest.mark.slow
 def test_full_pipeline_recovery(session_dir, tmp_path):
     path, s, info = session_dir
     sd = sio.load_session(path)

@@ -24,6 +24,7 @@ from visual_inertial_bundle_adjustment_tpu.problem import factors as fct
 from test_preintegration import make_stream, pad_interval, random_calib
 
 
+@pytest.mark.slow
 def test_rs_tables_match_direct_integration():
     calib = random_calib(3)
     g_t, g_v, a_t, a_v = make_stream(t_len=0.12, gyro_hz=200, accel_hz=200, seed=8)
@@ -70,6 +71,7 @@ def test_rs_tables_match_direct_integration():
     assert not bool(est.valid)
 
 
+@pytest.mark.slow
 def test_rs_visual_reduces_to_visual_at_zero_readout():
     from visual_inertial_bundle_adjustment_tpu.pipeline.builder import (
         BuildOptions,
@@ -109,6 +111,7 @@ def test_rs_visual_reduces_to_visual_at_zero_readout():
     rs_data = {k: v for k, v in vis_data.items() if k not in ("bias", "bias_on")}
     rs_data["rs_row"] = rs_data["rig"]
     rs_data["rs_tables"] = tables
+    rs_data["rs_tpf"] = rs_data["obs_uv"][:, 1] / float(s.image_size[1]) - 0.5
     rs_cfg = fct.BatchCfg(kind="rs_visual", loss=vis_cfg.loss,
                           camera_kind=vis_cfg.camera_kind,
                           image_height=float(s.image_size[1]))

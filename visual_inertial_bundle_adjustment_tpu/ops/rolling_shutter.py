@@ -138,6 +138,60 @@ class RSEstimate(NamedTuple):
     valid: jnp.ndarray  # () bool
 
 
+def rs_segment_lookup(tables: RSTables, rows, t_delta):
+    """Per-observation interpolation-segment data, WITHOUT materializing the
+    (N, K) per-observation table gathers the naive formulation needs (at
+    778k observations x K~200 samples those are multi-GB arrays).
+
+    Binary-searches each row's dt boundaries with log2(K) single-element
+    gathers, then gathers exactly one segment (17 floats/obs). The segment
+    choice is made at the CURRENT readout/time-offset estimates and treated
+    as locally constant under AD — exact a.e., matching the reference's
+    re-query-per-evaluation semantics (RollingShutterData.cpp:70-113)."""
+    import math
+
+    K = tables.dt.shape[1]
+    n = rows.shape[0]
+    rows = rows.astype(jnp.int32)
+    flat_dt = tables.dt.reshape(-1)
+    lo = jnp.zeros(n, jnp.int32)
+    hi = jnp.full(n, K, jnp.int32)
+    for _ in range(max(1, math.ceil(math.log2(K)))):
+        mid = (lo + hi) // 2
+        vals = flat_dt[rows * K + mid]
+        go_right = vals <= t_delta  # side="right": first index with dt > t
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    idx = lo
+    valid = (idx > 0) & (idx < tables.count[rows])
+    seg = jnp.clip(idx - 1, 0, K - 1)
+    fl = rows * K + seg
+    dt = flat_dt[fl]
+    return dict(
+        seg_dt=jnp.where(jnp.isfinite(dt), dt, 0.0),
+        seg_q=tables.q.reshape(-1, 4)[fl],
+        seg_dv=tables.dV.reshape(-1, 3)[fl],
+        seg_dp=tables.dP.reshape(-1, 3)[fl],
+        seg_ig=tables.i_gyro.reshape(-1, 3)[fl],
+        seg_ia=tables.i_accel.reshape(-1, 3)[fl],
+        seg_idv=tables.i_dvel.reshape(-1, 3)[fl],
+        seg_valid=valid,
+    )
+
+
+def rs_estimate_seg(seg_dt, seg_q, seg_dv, seg_dp, seg_ig, seg_ia, seg_idv,
+                    seg_valid, gravity_w, t_delta, vel_world, pose_q):
+    """rs_estimate on pre-gathered segment data (one factor row)."""
+    prev = RotVelPos(seg_q, seg_dv, seg_dp, seg_dt)
+    interp = RVPInterpolation(seg_ig, seg_ia, seg_idv)
+    local = rvp_integrate_interp(interp, t_delta - prev.dt)
+    rvp_t = rvp_combine(prev, local)
+    grav_mid = lie.quat_rotate(pose_q, gravity_w)
+    vel_mid = lie.quat_rotate(pose_q, vel_world)
+    pos_mid_t = rvp_t.dP + vel_mid * t_delta + grav_mid * (0.5 * t_delta * t_delta)
+    return RSEstimate(rvp_t.q, pos_mid_t, seg_valid)
+
+
 def rs_estimate(dt_row, q_row, dV_row, dP_row, ig_row, ia_row, idv_row, count,
                 gravity_w, t_delta, vel_world, pose_q):
     """Shifted pose at t_delta (sec, rel. midpoint) for ONE factor row.

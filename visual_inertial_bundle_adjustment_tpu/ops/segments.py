@@ -84,9 +84,10 @@ def seg_reduce_partials(contrib, local, nt, ts, rb):
             jnp.arange(rb, dtype=local.dtype)[None, :, None]
             == local.reshape(nt, ts)[:, None, :]
         ).astype(contrib.dtype)
+        pet = contrib.dtype if contrib.dtype == jnp.float64 else jnp.float32
         part = jnp.einsum(
             "tro,dto->trd", oh, contrib.reshape(D, nt, ts),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=pet,
         precision=_sel_precision(oh.dtype),
         ).astype(contrib.dtype)
         return part
@@ -121,7 +122,8 @@ def seg_gather_from_tiles(xt, local, nt, ts, rb):
             jnp.arange(rb, dtype=local.dtype)[None, :, None]
             == local.reshape(nt, ts)[:, None, :]
         ).astype(xt.dtype)
-        out = jnp.einsum("tro,trd->tod", oh, xt, preferred_element_type=jnp.float32,
+        pet = xt.dtype if xt.dtype == jnp.float64 else jnp.float32
+        out = jnp.einsum("tro,trd->tod", oh, xt, preferred_element_type=pet,
         precision=_sel_precision(oh.dtype))
         return out.reshape(nt * ts, D).astype(xt.dtype)
     return pl.pallas_call(
@@ -854,6 +856,459 @@ def seg_assemble_rig(J_r, J_p, res, w, rig_local, pt_local, hib, r_bases,
         tri_idx[a, b] = tri_idx[b, a] = m
     H = tri[:, tri_idx.reshape(-1)].reshape(n_pts, 3, 3)
     return g_r, diag_r, g_l, H
+
+
+# ---------------------------------------------------------------------------
+# Calibration-coupled single-pass Schur kernels. Full-sensor sessions couple
+# each visual observation to its 5-second calibration-window variables
+# (camera extrinsics 6 + intrinsics 17 -> one concatenated "cal" column
+# group of kc <= 23 columns, indexed by window row = window(rig)*nC + ci).
+# Within one rig tile the consecutive rigs span only a handful of windows,
+# so the cal side gets the same treatment as the rig side: a per-tile
+# 8-aligned base + a (wb, tsc) one-hot, with the (n_cal, kc) tables VMEM-
+# resident across the whole grid. This keeps BASELINE config-3/4 workloads
+# (all calibration random-walking) on the single-pass rig grid instead of
+# the two-grid permute path.
+# ---------------------------------------------------------------------------
+
+
+def _schur_chunk_cal(ts, rb, wb, nhw):
+    tsc = ts
+    while tsc > 256 and tsc * (rb + wb + 128 + 3 * nhw) > 2560 * 1024:
+        tsc //= 2
+    return tsc
+
+
+def _schur_down_cal_kernel(rb, wb, nhw, nhg, rbases_ref, cbases_ref, hib_ref,
+                           rloc_ref, cloc_ref, ploc_ref, w_ref, xr_ref,
+                           xc_ref, jr_ref, jc_ref, jp_ref, yr_ref, yc_ref,
+                           tp_ref):
+    i, c = pl.program_id(0), pl.program_id(1)
+    base = pl.multiple_of(rbases_ref[i], 8)
+    cb = pl.multiple_of(cbases_ref[i], 8)
+    hb = pl.multiple_of(hib_ref[i], 8)
+
+    @pl.when((i == 0) & (c == 0))
+    def _():
+        yr_ref[:] = jnp.zeros_like(yr_ref)
+        yc_ref[:] = jnp.zeros_like(yc_ref)
+        tp_ref[:] = jnp.zeros_like(tp_ref)
+
+    ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, tsc)
+    ohc = _oh_t(cloc_ref[0, 0], wb).astype(jnp.bfloat16)  # (wb, tsc)
+    xgT_r = _sel_dot(xr_ref[pl.ds(base, rb), :], ohr, ((0,), (0,)))  # (k, tsc)
+    xgT_c = _sel_dot(xc_ref[pl.ds(cb, wb), :], ohc, ((0,), (0,)))  # (kc, tsc)
+    Jr = jr_ref[:]  # (d, k, tsc)
+    Jc = jc_ref[:]  # (d, kc, tsc)
+    u = (jnp.sum(Jr * xgT_r.astype(Jr.dtype)[None, :, :], axis=1)
+         + jnp.sum(Jc * xgT_c.astype(Jc.dtype)[None, :, :], axis=1))
+    wu = u * w_ref[0, 0][None, :]
+    contrib_r = jnp.sum(Jr * wu[:, None, :], axis=0)  # (k, tsc)
+    part_r = _sel_dot(ohr, contrib_r, ((1,), (1,)))
+    yr_ref[pl.ds(base, rb), :] = (yr_ref[pl.ds(base, rb), :]
+                                  + part_r.astype(yr_ref.dtype))
+    contrib_c = jnp.sum(Jc * wu[:, None, :], axis=0)  # (kc, tsc)
+    part_c = _sel_dot(ohc, contrib_c, ((1,), (1,)))
+    yc_ref[pl.ds(cb, wb), :] = (yc_ref[pl.ds(cb, wb), :]
+                                + part_c.astype(yc_ref.dtype))
+    hi, lo = _hi_lo(ploc_ref[0, 0])
+    ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)  # (128, tsc)
+    ohhi = _oh_t(hi, nhw).astype(wu.dtype)  # (nhw, tsc)
+    contrib_p = jnp.sum(jp_ref[:] * wu[:, None, :], axis=0)  # (3, tsc)
+    MT = jnp.concatenate(
+        [ohhi * contrib_p[j][None, :] for j in range(3)], axis=0)
+    P = _sel_dot(MT, ohlo, ((1,), (1,)))  # (3*nhw, 128)
+    for j in range(3):
+        tp_ref[pl.ds(j * nhg + hb, nhw), :] = (
+            tp_ref[pl.ds(j * nhg + hb, nhw), :]
+            + P[j * nhw:(j + 1) * nhw].astype(tp_ref.dtype))
+
+
+def seg_schur_down_cal(J_r, J_c, J_p, w, rig_local, cal_local, pt_local, hib,
+                       x_r, x_c, r_bases, c_bases, n_pts, nt, ts, rb, wb,
+                       nhw, nhg):
+    """Single pass over the rig grid for a calib-coupled visual batch:
+      y_r (n_r, k)   = seg_rig  J_r^T w u
+      y_c (n_c, kc)  = seg_cal  J_c^T w u
+      t   (n_pts, 3) = seg_pt   J_p^T w u
+    with u = J_r x_r[rig] + J_c x_c[cal] — the full H x and W^T x of the
+    batch, every table VMEM-resident."""
+    d, k, _ = J_r.shape
+    kc = J_c.shape[1]
+    n_r, n_c = x_r.shape[0], x_c.shape[0]
+    if not use_pallas(J_r):
+        xg_r = seg_gather_from_tiles(
+            gather_tiles(x_r, _rows_from_bases(r_bases, nt, rb), nt, rb),
+            rig_local, nt, ts, rb)
+        xg_c = seg_gather_from_tiles(
+            gather_tiles(x_c, _rows_from_bases(c_bases, nt, wb), nt, wb),
+            cal_local, nt, ts, wb)
+        wu = (jnp.einsum("dkn,nk->dn", J_r, xg_r)
+              + jnp.einsum("dkn,nk->dn", J_c, xg_c)) * w[None, :]
+        y_r = seg_mv_scatter_table(J_r, wu, rig_local, r_bases, nt, ts, rb,
+                                   n_r)
+        y_c = seg_mv_scatter_table(J_c, wu, cal_local, c_bases, nt, ts, wb,
+                                   n_c)
+        contrib_p = jnp.einsum("dkn,dn->kn", J_p, wu)
+        rows = _to_pt_rows(pt_local, hib, nt, ts)
+        t = jnp.zeros((nhg * 128, 3), J_r.dtype).at[rows].add(contrib_p.T)
+        return y_r, y_c, t[:n_pts]
+    tsc = _schur_chunk_cal(ts, rb, wb, nhw)
+    nc_ch = ts // tsc
+    xrp, npad_r = _table_pad(x_r, rb)
+    xcp, npad_c = _table_pad(x_c, wb)
+    ts_spec = lambda: pl.BlockSpec((1, 1, tsc), lambda i, c, b, cb, h: (i, 0, c),  # noqa: E731
+                                   memory_space=pltpu.VMEM)
+    y_r, y_c, t = pl.pallas_call(
+        partial(_schur_down_cal_kernel, rb, wb, nhw, nhg),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nt, nc_ch),
+            in_specs=[
+                ts_spec(), ts_spec(), ts_spec(),
+                pl.BlockSpec((1, 1, tsc), lambda i, c, b, cb, h: (i, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((npad_r, k), lambda i, c, b, cb, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((npad_c, kc), lambda i, c, b, cb, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, k, tsc),
+                             lambda i, c, b, cb, h: (0, 0, i * (ts // tsc) + c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, kc, tsc),
+                             lambda i, c, b, cb, h: (0, 0, i * (ts // tsc) + c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, 3, tsc),
+                             lambda i, c, b, cb, h: (0, 0, i * (ts // tsc) + c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((npad_r, k), lambda i, c, b, cb, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((npad_c, kc), lambda i, c, b, cb, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * nhg, 128), lambda i, c, b, cb, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((npad_r, k), J_r.dtype),
+            jax.ShapeDtypeStruct((npad_c, kc), J_r.dtype),
+            jax.ShapeDtypeStruct((3 * nhg, 128), J_r.dtype),
+        ),
+    )(
+        r_bases.astype(jnp.int32),
+        c_bases.astype(jnp.int32),
+        hib.astype(jnp.int32),
+        rig_local.reshape(nt, 1, ts).astype(jnp.int32),
+        cal_local.reshape(nt, 1, ts).astype(jnp.int32),
+        pt_local.reshape(nt, 1, ts).astype(jnp.int32),
+        w.reshape(nt, 1, ts),
+        xrp,
+        xcp,
+        J_r,
+        J_c,
+        J_p,
+    )
+    return y_r[:n_r], y_c[:n_c], pt_table_from_kernel(t, n_pts)
+
+
+def _schur_up_cal_kernel(rb, wb, nhw, nhg, rbases_ref, cbases_ref, hib_ref,
+                         rloc_ref, cloc_ref, ploc_ref, w_ref, z_ref, jr_ref,
+                         jc_ref, jp_ref, yr_ref, yc_ref):
+    i, c = pl.program_id(0), pl.program_id(1)
+    base = pl.multiple_of(rbases_ref[i], 8)
+    cb = pl.multiple_of(cbases_ref[i], 8)
+    hb = pl.multiple_of(hib_ref[i], 8)
+
+    @pl.when((i == 0) & (c == 0))
+    def _():
+        yr_ref[:] = jnp.zeros_like(yr_ref)
+        yc_ref[:] = jnp.zeros_like(yc_ref)
+
+    hi, lo = _hi_lo(ploc_ref[0, 0])
+    ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)  # (128, tsc)
+    ohhi = _oh_t(hi, nhw)  # (nhw, tsc) bool
+    Zw = jnp.concatenate(
+        [z_ref[pl.ds(j * nhg + hb, nhw), :] for j in range(3)], axis=0)
+    Gt = _sel_dot(Zw, ohlo, ((1,), (0,)))  # (3*nhw, tsc)
+    Jr = jr_ref[:]
+    Jc = jc_ref[:]
+    Jp = jp_ref[:]
+    w = w_ref[0, 0]
+    u2 = jnp.zeros((Jp.shape[0], lo.shape[0]), Jp.dtype)
+    for j in range(3):
+        zg_j = jnp.sum(
+            jnp.where(ohhi, Gt[j * nhw:(j + 1) * nhw, :], 0.0), axis=0)
+        u2 = u2 + Jp[:, j, :] * zg_j.astype(Jp.dtype)[None, :]
+    wu2 = u2 * w[None, :]
+    contrib_r = jnp.sum(Jr * wu2[:, None, :], axis=0)
+    ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)
+    part_r = _sel_dot(ohr, contrib_r, ((1,), (1,)))
+    yr_ref[pl.ds(base, rb), :] = (yr_ref[pl.ds(base, rb), :]
+                                  + part_r.astype(yr_ref.dtype))
+    contrib_c = jnp.sum(Jc * wu2[:, None, :], axis=0)
+    ohc = _oh_t(cloc_ref[0, 0], wb).astype(jnp.bfloat16)
+    part_c = _sel_dot(ohc, contrib_c, ((1,), (1,)))
+    yc_ref[pl.ds(cb, wb), :] = (yc_ref[pl.ds(cb, wb), :]
+                                + part_c.astype(yc_ref.dtype))
+
+
+def seg_schur_up_cal(J_r, J_c, J_p, w, rig_local, cal_local, pt_local, hib,
+                     z, r_bases, c_bases, nt, ts, rb, wb, nhw, nhg,
+                     n_r, n_c):
+    """(y_r, y_c) = segment sums of (J_r, J_c)^T w J_p z over the rig grid
+    (z (n_pts, 3) VMEM-resident): the W y_l coupling of rig AND cal columns."""
+    d, k, _ = J_r.shape
+    kc = J_c.shape[1]
+    if not use_pallas(J_r):
+        rows = _to_pt_rows(pt_local, hib, nt, ts)
+        zp = jnp.pad(z, ((0, nhg * 128 - z.shape[0]), (0, 0)))
+        u2 = jnp.einsum("dkn,nk->dn", J_p, zp[rows]) * w[None, :]
+        y_r = seg_mv_scatter_table(J_r, u2, rig_local, r_bases, nt, ts, rb,
+                                   n_r)
+        y_c = seg_mv_scatter_table(J_c, u2, cal_local, c_bases, nt, ts, wb,
+                                   n_c)
+        return y_r, y_c
+    tsc = _schur_chunk_cal(ts, rb, wb, nhw)
+    nc_ch = ts // tsc
+    npad_r = ((n_r + rb + 7) // 8) * 8
+    npad_c = ((n_c + wb + 7) // 8) * 8
+    zr = pt_table_to_kernel(z, nhg)
+    ts_spec = lambda: pl.BlockSpec((1, 1, tsc), lambda i, c, b, cb, h: (i, 0, c),  # noqa: E731
+                                   memory_space=pltpu.VMEM)
+    y_r, y_c = pl.pallas_call(
+        partial(_schur_up_cal_kernel, rb, wb, nhw, nhg),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nt, nc_ch),
+            in_specs=[
+                ts_spec(), ts_spec(), ts_spec(),
+                pl.BlockSpec((1, 1, tsc), lambda i, c, b, cb, h: (i, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * nhg, 128), lambda i, c, b, cb, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, k, tsc),
+                             lambda i, c, b, cb, h: (0, 0, i * (ts // tsc) + c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, kc, tsc),
+                             lambda i, c, b, cb, h: (0, 0, i * (ts // tsc) + c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, 3, tsc),
+                             lambda i, c, b, cb, h: (0, 0, i * (ts // tsc) + c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((npad_r, k), lambda i, c, b, cb, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((npad_c, kc), lambda i, c, b, cb, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((npad_r, k), J_r.dtype),
+            jax.ShapeDtypeStruct((npad_c, kc), J_r.dtype),
+        ),
+    )(
+        r_bases.astype(jnp.int32),
+        c_bases.astype(jnp.int32),
+        hib.astype(jnp.int32),
+        rig_local.reshape(nt, 1, ts).astype(jnp.int32),
+        cal_local.reshape(nt, 1, ts).astype(jnp.int32),
+        pt_local.reshape(nt, 1, ts).astype(jnp.int32),
+        w.reshape(nt, 1, ts),
+        zr,
+        J_r,
+        J_c,
+        J_p,
+    )
+    return y_r[:n_r], y_c[:n_c]
+
+
+def _tri_pairs_splits(splits):
+    """Upper-triangle (a, b) pairs WITHIN each contiguous column split."""
+    pairs = []
+    off = 0
+    for dim in splits:
+        pairs += [(off + a, off + b) for a in range(dim) for b in range(a, dim)]
+        off += dim
+    return pairs
+
+
+def _assemble_cal_kernel(rb, wb, nhw, nhg, splits, rbases_ref, cbases_ref,
+                         hib_ref, rloc_ref, cloc_ref, ploc_ref, w_ref,
+                         res_ref, jr_ref, jc_ref, jp_ref, yr_ref, yc_ref,
+                         tp_ref):
+    i, c = pl.program_id(0), pl.program_id(1)
+    base = pl.multiple_of(rbases_ref[i], 8)
+    cb = pl.multiple_of(cbases_ref[i], 8)
+    hb = pl.multiple_of(hib_ref[i], 8)
+
+    @pl.when((i == 0) & (c == 0))
+    def _():
+        yr_ref[:] = jnp.zeros_like(yr_ref)
+        yc_ref[:] = jnp.zeros_like(yc_ref)
+        tp_ref[:] = jnp.zeros_like(tp_ref)
+
+    Jr = jr_ref[:]  # (d, k, tsc)
+    Jc = jc_ref[:]  # (d, kc, tsc)
+    Jp = jp_ref[:]  # (d, 3, tsc)
+    w = w_ref[0, 0]
+    d, k, kc = Jr.shape[0], Jr.shape[1], Jc.shape[1]
+    wres = [res_ref[dd, :] * w for dd in range(d)]
+    # rig side: gradient + diagonal
+    gr = [sum(Jr[dd, a, :] * wres[dd] for dd in range(d)) for a in range(k)]
+    dg = [sum(Jr[dd, a, :] * Jr[dd, a, :] for dd in range(d)) * w
+          for a in range(k)]
+    C = jnp.concatenate([x[None, :] for x in (gr + dg)], axis=0)
+    ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)
+    part = _sel_dot(ohr, C, ((1,), (1,)))
+    yr_ref[pl.ds(base, rb), :] = (yr_ref[pl.ds(base, rb), :]
+                                  + part.astype(yr_ref.dtype))
+    # cal side: gradient + diagonal + per-split self-block triangles
+    # (the lambda-free block-Jacobi blocks of the window variables)
+    gc = [sum(Jc[dd, a, :] * wres[dd] for dd in range(d)) for a in range(kc)]
+    dc = [sum(Jc[dd, a, :] * Jc[dd, a, :] for dd in range(d)) * w
+          for a in range(kc)]
+    tric = [sum(Jc[dd, a, :] * Jc[dd, b, :] for dd in range(d)) * w
+            for a, b in _tri_pairs_splits(splits)]
+    CC = jnp.concatenate([x[None, :] for x in (gc + dc + tric)], axis=0)
+    ohc = _oh_t(cloc_ref[0, 0], wb).astype(jnp.bfloat16)
+    partc = _sel_dot(ohc, CC, ((1,), (1,)))
+    yc_ref[pl.ds(cb, wb), :] = (yc_ref[pl.ds(cb, wb), :]
+                                + partc.astype(yc_ref.dtype))
+    # point side: gradient + symmetric landmark block
+    gl = [sum(Jp[dd, b, :] * wres[dd] for dd in range(d)) for b in range(3)]
+    Ht = [sum(Jp[dd, a, :] * Jp[dd, b, :] for dd in range(d)) * w
+          for a, b in _triu_pairs(3)]
+    hi, lo = _hi_lo(ploc_ref[0, 0])
+    ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)
+    ohhi = _oh_t(hi, nhw).astype(w.dtype)
+    MT = jnp.concatenate([ohhi * x[None, :] for x in (gl + Ht)], axis=0)
+    P = _sel_dot(MT, ohlo, ((1,), (1,)))
+    for j in range(9):
+        tp_ref[pl.ds(j * nhg + hb, nhw), :] = (
+            tp_ref[pl.ds(j * nhg + hb, nhw), :]
+            + P[j * nhw:(j + 1) * nhw].astype(tp_ref.dtype))
+
+
+def seg_assemble_cal(J_r, J_c, J_p, res, w, rig_local, cal_local, pt_local,
+                     hib, r_bases, c_bases, n_pts, nt, ts, rb, wb, nhw, nhg,
+                     n_r, n_c, splits):
+    """All lambda-independent assembly of a calib-coupled visual batch in one
+    pass over the rig grid:
+      g_r, diag_r (n_r, k); g_c, diag_c (n_c, kc);
+      blocks_c: per-split self blocks, list of (n_c, d_i, d_i)
+        (the window variables' block-Jacobi blocks — no Schur correction,
+        matching engine._build_preconditioner which corrects only rig blocks);
+      g_l (n_pts, 3); H_ll0 (n_pts, 3, 3)."""
+    d, k, _ = J_r.shape
+    kc = J_c.shape[1]
+    pairs = _tri_pairs_splits(splits)
+    ntri = len(pairs)
+    if not use_pallas(J_r):
+        wres = res * w[None, :]
+        g_r = seg_mv_scatter_table(J_r, wres, rig_local, r_bases, nt, ts, rb,
+                                   n_r)
+        dcon = jnp.einsum("dkn,dkn->kn", J_r, J_r * w[None, None, :])
+        diag_r = seg_reduce_table(dcon, rig_local, r_bases, nt, ts, rb, n_r)
+        g_c = seg_mv_scatter_table(J_c, wres, cal_local, c_bases, nt, ts, wb,
+                                   n_c)
+        dconc = jnp.einsum("dkn,dkn->kn", J_c, J_c * w[None, None, :])
+        diag_c = seg_reduce_table(dconc, cal_local, c_bases, nt, ts, wb, n_c)
+        tric = jnp.stack(
+            [jnp.einsum("dn,dn->n", J_c[:, a, :], J_c[:, b, :] * w[None, :])
+             for a, b in pairs], axis=0)
+        tri_red = seg_reduce_table(tric, cal_local, c_bases, nt, ts, wb, n_c)
+        rows = _to_pt_rows(pt_local, hib, nt, ts)
+        gl_c = jnp.einsum("dbn,dn->nb", J_p, wres)
+        Hc = jnp.einsum("dan,dbn->nab", J_p * w[None, None, :], J_p)
+        buf = jnp.zeros((nhg * 128, 12), J_r.dtype)
+        buf = buf.at[rows, :3].add(gl_c)
+        buf = buf.at[rows, 3:].add(Hc.reshape(-1, 9))
+        g_l, H = buf[:n_pts, :3], buf[:n_pts, 3:].reshape(n_pts, 3, 3)
+    else:
+        tsc = _schur_chunk_cal(ts, rb, wb, nhw)
+        nc_ch = ts // tsc
+        npad_r = ((n_r + rb + 7) // 8) * 8
+        npad_c = ((n_c + wb + 7) // 8) * 8
+        ts_spec = lambda: pl.BlockSpec(  # noqa: E731
+            (1, 1, tsc), lambda i, c, b, cb, h: (i, 0, c),
+            memory_space=pltpu.VMEM)
+        y, yc, t = pl.pallas_call(
+            partial(_assemble_cal_kernel, rb, wb, nhw, nhg, tuple(splits)),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(nt, nc_ch),
+                in_specs=[
+                    ts_spec(), ts_spec(), ts_spec(),
+                    pl.BlockSpec((1, 1, tsc), lambda i, c, b, cb, h: (i, 0, c),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2, tsc), lambda i, c, b, cb, h: (0, i * (ts // tsc) + c),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((d, k, tsc),
+                                 lambda i, c, b, cb, h: (0, 0, i * (ts // tsc) + c),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((d, kc, tsc),
+                                 lambda i, c, b, cb, h: (0, 0, i * (ts // tsc) + c),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((d, 3, tsc),
+                                 lambda i, c, b, cb, h: (0, 0, i * (ts // tsc) + c),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((npad_r, 2 * k), lambda i, c, b, cb, h: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((npad_c, 2 * kc + ntri),
+                                 lambda i, c, b, cb, h: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((9 * nhg, 128), lambda i, c, b, cb, h: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((npad_r, 2 * k), J_r.dtype),
+                jax.ShapeDtypeStruct((npad_c, 2 * kc + ntri), J_r.dtype),
+                jax.ShapeDtypeStruct((9 * nhg, 128), J_r.dtype),
+            ),
+        )(
+            r_bases.astype(jnp.int32),
+            c_bases.astype(jnp.int32),
+            hib.astype(jnp.int32),
+            rig_local.reshape(nt, 1, ts).astype(jnp.int32),
+            cal_local.reshape(nt, 1, ts).astype(jnp.int32),
+            pt_local.reshape(nt, 1, ts).astype(jnp.int32),
+            w.reshape(nt, 1, ts),
+            res,
+            J_r,
+            J_c,
+            J_p,
+        )
+        g_r, diag_r = y[:n_r, :k], y[:n_r, k:]
+        g_c, diag_c = yc[:n_c, :kc], yc[:n_c, kc:2 * kc]
+        tri_red = yc[:n_c, 2 * kc:]  # (n_c, ntri)
+        pt = pt_table_from_kernel(t, n_pts, D=9)
+        g_l = pt[:, :3]
+        tri3 = pt[:, 3:]
+        import numpy as _np
+        tri_idx = _np.zeros((3, 3), _np.int32)
+        for m, (a, b) in enumerate(_triu_pairs(3)):
+            tri_idx[a, b] = tri_idx[b, a] = m
+        H = tri3[:, tri_idx.reshape(-1)].reshape(n_pts, 3, 3)
+
+    # unpack per-split triangles (n_c, ntri) into symmetric blocks
+    blocks_c = []
+    import numpy as _np
+    pos = 0
+    for dim in splits:
+        m = dim * (dim + 1) // 2
+        idx = _np.zeros((dim, dim), _np.int32)
+        for mi, (a, b) in enumerate(
+                [(a, b) for a in range(dim) for b in range(a, dim)]):
+            idx[a, b] = idx[b, a] = pos + mi
+        blocks_c.append(tri_red[:, idx.reshape(-1)].reshape(-1, dim, dim))
+        pos += m
+    return g_r, diag_r, g_c, diag_c, blocks_c, g_l, H
 
 
 def _precond_rig_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,

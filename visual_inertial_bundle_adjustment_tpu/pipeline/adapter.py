@@ -488,6 +488,8 @@ class SessionAdapter:
                 data["rs_row"] = data["rig"]  # tables indexed per rig
                 data["rs_tables"] = self._rs_tables
                 h = self.sd.online[0].cameras[ci].image_size[1]
+                # per-row capture-time fraction (constant per observation)
+                data["rs_tpf"] = data["obs_uv"][:, 1] / float(h) - 0.5
                 problem.add_batch(
                     fct.BatchCfg(kind="rs_visual", loss=self.opts.reproj_loss,
                                  camera_kind=self.camera_kind(ci),

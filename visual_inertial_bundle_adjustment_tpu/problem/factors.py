@@ -257,13 +257,14 @@ def _rs_visual_local(ts, ar, cfg):
     Eq, Et = _se3_at(ar["extr_q"], ar["extr_t"], xi_extr)
     intr = ar["intr"] + xi_intr
 
-    # per-row capture time (reference VisualFactor.cpp:141-144)
-    tpf = ar["obs_uv"][1] / cfg.image_height - 0.5
-    dtt = intr[cam_ops.READOUT] * tpf - intr[cam_ops.TIME_OFFSET]
-
-    est = rs.rs_estimate(
-        ar["rs_dt"], ar["rs_q"], ar["rs_dv"], ar["rs_dp"],
-        ar["rs_ig"], ar["rs_ia"], ar["rs_idv"], ar["rs_count"],
+    # per-row capture time (reference VisualFactor.cpp:141-144); the
+    # interpolation SEGMENT was chosen at the current readout/time-offset
+    # (rs_segment_lookup) and is locally constant under AD — dtt still
+    # carries the readout/time-offset derivative through the interpolant
+    dtt = intr[cam_ops.READOUT] * ar["tpf"] - intr[cam_ops.TIME_OFFSET]
+    est = rs.rs_estimate_seg(
+        ar["seg_dt"], ar["seg_q"], ar["seg_dv"], ar["seg_dp"],
+        ar["seg_ig"], ar["seg_ia"], ar["seg_idv"], ar["seg_valid"],
         ar["rs_grav"], dtt, vel, Tq,
     )
     # T_bodyImuAtT_world = T_midImu_imuAtT^-1 * T_bodyImu_world
@@ -279,10 +280,17 @@ def _rs_visual_local(ts, ar, cfg):
 
 
 def _rs_visual_args(v: VariableTables, d):
+    from ..ops import rolling_shutter as rs
+
     pq, pt_ = _gather_se3(v.pose_q, v.pose_t, d["rig"])
     eq, et = _gather_se3(v.cam_extr_q, v.cam_extr_t, d["extr"])
-    r = d["rs_row"]
-    n = r.shape[0]
+    n = d["rs_row"].shape[0]
+    intr = _take(v.cam_intr, d["intr"])
+    tpf = d["rs_tpf"]
+    # segment lookup at the current estimates — per-observation payload is
+    # one segment (17 floats), never the full (N, K) table gathers
+    dtt0 = intr[:, cam_ops.READOUT] * tpf - intr[:, cam_ops.TIME_OFFSET]
+    segd = rs.rs_segment_lookup(d["rs_tables"], d["rs_row"], dtt0)
     return {
         "pt": _take(v.points, d["point"]),
         "pose_q": pq,
@@ -290,18 +298,12 @@ def _rs_visual_args(v: VariableTables, d):
         "vel": _take(v.vel, d["rig"]),
         "extr_q": eq,
         "extr_t": et,
-        "intr": _take(v.cam_intr, d["intr"]),
+        "intr": intr,
         "obs_uv": d["obs_uv"],
         "sqrt_h": d["sqrt_h"],
-        "rs_dt": _take(d["rs_tables"].dt, r),
-        "rs_q": _take(d["rs_tables"].q, r),
-        "rs_dv": _take(d["rs_tables"].dV, r),
-        "rs_dp": _take(d["rs_tables"].dP, r),
-        "rs_ig": _take(d["rs_tables"].i_gyro, r),
-        "rs_ia": _take(d["rs_tables"].i_accel, r),
-        "rs_idv": _take(d["rs_tables"].i_dvel, r),
-        "rs_count": _take(d["rs_tables"].count, r),
+        "tpf": tpf,
         "rs_grav": jnp.broadcast_to(d["rs_tables"].gravity_w, (n, 3)),
+        **segd,
     }
 
 

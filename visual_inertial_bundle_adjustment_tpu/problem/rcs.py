@@ -44,6 +44,24 @@ from .structure import Masks, Tangent, VariableTables, t_axpy, t_dot, zero_tange
 
 VISUAL_KINDS = ("visual", "rs_visual")
 
+# Structurally nonzero rig tangent columns per visual kind: the rig tangent
+# is [pose(0:6), vel(6:9), omega(9:12)]; plain visual factors touch only the
+# pose, rolling-shutter ones also the velocity (through the RS estimate),
+# neither touches omega. Slicing the J blocks (and the rig table) to this
+# prefix halves (or better) the J HBM traffic and selection-dot FLOPs of
+# every solver kernel (PERF_NOTES candidate #4).
+RIG_COLS = {"visual": 6, "rs_visual": 9}
+
+
+def _padk(y, k):
+    """(n, k) rig-column result back to the full 12-column tangent layout."""
+    return jnp.pad(y, ((0, 0), (0, 12 - k))) if k < 12 else y
+
+
+def _padkk(B, k):
+    """(n, k, k) rig blocks back to (n, 12, 12)."""
+    return jnp.pad(B, ((0, 0), (0, 12 - k), (0, 12 - k))) if k < 12 else B
+
 
 # ---------------------------------------------------------------------------
 # Host-side symbolic phase: sort, pad, build block grids + permutations
@@ -76,6 +94,11 @@ class BlockInfo:
     # padded point-table height in 128-row units for the VMEM-resident point
     # accumulator of the single-pass kernels (0 = table too large for VMEM)
     nhg: int = 0
+    # calibration-window rows addressable per tile (0 = no cal plan): within
+    # a rig tile the consecutive rigs span only a handful of 5 s calibration
+    # windows, so calib columns get the same per-tile base + one-hot
+    # treatment as rig columns (segments.seg_schur_down_cal family)
+    wb: int = 0
 
 
 def _tile_plan(key_sorted, rb, ts):
@@ -170,6 +193,32 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096,
         else:
             prb2 = 0
             nhg = 0
+
+        # calibration-window plan: per-tile 8-aligned window-row base + local
+        # indices, when the batch couples calib windows (intr/extr share the
+        # window-row index array in the adapter). Skewed tiles spanning more
+        # than wb_cap window rows fall back to the two-grid path.
+        wb = 0
+        cal_rows_match = (problem.variables.cam_intr.shape[0]
+                          == problem.variables.cam_extr_q.shape[0])
+        if ("intr" in new and cal_rows_match
+                and np.array_equal(new["intr"], new["extr"])):
+            wrow = new["intr"].astype(np.int64).reshape(nt, ts)
+            pad_t = pad.reshape(nt, ts) > 0.5
+            big = np.where(pad_t, np.int64(np.iinfo(np.int64).max), wrow)
+            wmin = big.min(axis=1)
+            wmin = np.where(wmin == np.iinfo(np.int64).max, 0, wmin)
+            cbase = (wmin & ~7).astype(np.int64)
+            wmax = np.where(pad_t, np.int64(-1), wrow).max(axis=1)
+            span = int(np.maximum(wmax - cbase, 0).max()) + 1
+            wb = ((span + 7) // 8) * 8
+            if wb <= 128:
+                cloc = wrow - cbase[:, None]
+                cloc[pad_t] = 0
+                new["_cb_local"] = cloc.reshape(-1).astype(np.int32)
+                new["_cb_base"] = cbase.astype(np.int32)
+            else:
+                wb = 0
         real = np.nonzero(pad < 0.5)[0]
         porder = np.argsort(pt_full[real], kind="stable")
         real_idx = real[porder]
@@ -193,7 +242,7 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096,
         new["_pt_base"] = pbase.astype(np.int32)
         problem.datas[bi] = {k: jnp.asarray(v) for k, v in new.items()}
         problem.cfgs[bi] = dataclasses.replace(
-            cfg, block_info=BlockInfo(rb, nt, ts, prb, pnt, ts, prb2, nhg)
+            cfg, block_info=BlockInfo(rb, nt, ts, prb, pnt, ts, prb2, nhg, wb)
         )
     problem._jits = None
     return problem
@@ -231,9 +280,14 @@ class VisBatch(NamedTuple):
     rg_pt_local: jnp.ndarray  # (N,) point index within the rig tile's window (or None)
     rg_hib: jnp.ndarray  # (nt,) x8-aligned window base per RIG tile, in 128-row units (or None)
     groups: tuple  # static: non-point group names in lin order
+    rig_k: int  # static: rig J blocks carry only the first rig_k columns
+    cal_groups: tuple  # static: ((group, dim), ...) folded into J_cal, or ()
     idx: tuple  # per non-point group (N,) index arrays
-    jac: tuple  # per non-point group (d, dim, N)
+    jac: tuple  # per non-point group (d, dim, N); RIG entry sliced to rig_k
     ells: tuple
+    J_cal: jnp.ndarray  # (d, kc, N) concat of cal-group Jacobians (or None)
+    cal_local: jnp.ndarray  # (N,) window row within [cal_base, cal_base+wb)
+    cal_base: jnp.ndarray  # (nt,) 8-aligned window-row base per tile
     J_pt: jnp.ndarray  # (d, 3, N) rig order
     J_pt_po: jnp.ndarray  # (d, 3, Np) point order
     w_po: jnp.ndarray  # (Np,)
@@ -248,13 +302,16 @@ jax.tree_util.register_pytree_node(
     lambda b: ((b.w, b.rb_local, b.rb_rows, b.pt_rows, b.rb_base, b.pt_base,
                 b.rg_pt_local, b.rg_hib,
                 b.idx, b.jac, b.ells, b.J_pt, b.J_pt_po, b.w_po, b.pt_local,
-                b.pt_perm, b.pt_inv, b.pt_idx), (b.info, b.groups)),
+                b.pt_perm, b.pt_inv, b.pt_idx, b.J_cal, b.cal_local,
+                b.cal_base),
+               (b.info, b.groups, b.rig_k, b.cal_groups)),
     lambda aux, ch: VisBatch(
         info=aux[0], w=ch[0], rb_local=ch[1], rb_rows=ch[2], pt_rows=ch[3],
         rb_base=ch[4], pt_base=ch[5], rg_pt_local=ch[6], rg_hib=ch[7],
-        groups=aux[1], idx=ch[8], jac=ch[9],
+        groups=aux[1], rig_k=aux[2], cal_groups=aux[3], idx=ch[8], jac=ch[9],
         ells=ch[10], J_pt=ch[11], J_pt_po=ch[12], w_po=ch[13], pt_local=ch[14],
-        pt_perm=ch[15], pt_inv=ch[16], pt_idx=ch[17],
+        pt_perm=ch[15], pt_inv=ch[16], pt_idx=ch[17], J_cal=ch[18],
+        cal_local=ch[19], cal_base=ch[20],
     ),
 )
 
@@ -296,6 +353,7 @@ def _vis_batches(cfgs, datas, lg):
             continue
         info = cfg.block_info
         wv = w * (1.0 - data["_pad"])
+        rig_k = RIG_COLS.get(cfg.kind, 12)
         groups, idx, jac, ells = [], [], [], []
         J_pt = None
         pt_idx = None
@@ -304,21 +362,39 @@ def _vis_batches(cfgs, datas, lg):
                 J_pt = J
                 pt_idx = ix
             else:
+                if g == fct.RIG and rig_k < J.shape[1]:
+                    J = jax.lax.slice_in_dim(J, 0, rig_k, axis=1)
                 groups.append(g)
                 idx.append(ix)
                 jac.append(J)
                 ells.append(ell)
         perm = data["_pt_perm"]
         J_pt_po = permute_cols(J_pt, perm) * data["_pt_w"][None, None, :]
+        # calibration-window column folding: when the batch's non-rig groups
+        # are exactly cam_extr/cam_intr (sharing the window-row index) and a
+        # window plan exists, concatenate their J blocks into one cal group
+        # for the single-pass cal kernels
+        cal_groups = ()
+        J_cal = None
+        if info.wb > 0 and "_cb_local" in data:
+            extra = [g for g in groups if g != fct.RIG]
+            if extra and all(g in (fct.CAM_EXTR, fct.CAM_INTR) for g in extra):
+                cal_groups = tuple(
+                    (g, J.shape[1]) for g, J in zip(groups, jac)
+                    if g != fct.RIG)
+                J_cal = jnp.concatenate(
+                    [J for g, J in zip(groups, jac) if g != fct.RIG], axis=1)
         out.append((VisBatch(
             info=info, w=wv, rb_local=data["_rb_local"], rb_rows=data["_rb_rows"],
             pt_rows=data["_pt_rows"], rb_base=data["_rb_base"],
             pt_base=data["_pt_base"], rg_pt_local=data.get("_rg_pt_local"),
-            rg_hib=data.get("_rg_hib"), groups=tuple(groups),
+            rg_hib=data.get("_rg_hib"), groups=tuple(groups), rig_k=rig_k,
+            cal_groups=cal_groups,
             idx=tuple(idx), jac=tuple(jac), ells=tuple(ells), J_pt=J_pt,
             J_pt_po=J_pt_po, w_po=wv[perm] * data["_pt_w"],
             pt_local=data["_pt_local"], pt_perm=perm, pt_inv=data["_pt_inv"],
-            pt_idx=pt_idx,
+            pt_idx=pt_idx, J_cal=J_cal, cal_local=data.get("_cb_local"),
+            cal_base=data.get("_cb_base"),
         ), lin))
     return out
 
@@ -361,8 +437,8 @@ def _point_blocks_blocked(vis, rest, v, lam):
     L = v.points.shape[0]
     H = jnp.zeros((L, 9), v.points.dtype)
     for b in vis:
-        if _rig_only_fast(b):
-            continue  # fused into seg_assemble_rig (assemble)
+        if _single_pass(b):
+            continue  # fused into seg_assemble_rig/_cal (assemble)
         A = jnp.einsum("dan,dbn->abn", b.J_pt_po * b.w_po[None, None, :], b.J_pt_po)
         H = H + reduce_rows(A.reshape(9, -1), b.pt_local, b.pt_base,
                             b.info.pnt, b.info.pts, b.info.prb, L)
@@ -391,15 +467,15 @@ def _grad(vis, rest, v):
     g = {k: g[k] + getattr(g_rest, k) for k in g}
     gp = gp + gp_rest
     for b, lin in vis:
-        if _rig_only_fast(b):
-            continue  # fused into seg_assemble_rig (assemble)
+        if _single_pass(b):
+            continue  # fused into seg_assemble_rig/_cal (assemble)
         wres = lin.res * b.w[None, :]  # (d, N)
         for group, idx, J, ell in zip(b.groups, b.idx, b.jac, b.ells):
             contrib = jnp.einsum("dkn,dn->kn", J, wres)
             if group == fct.RIG:
-                g[group] = g[group] + reduce_rows(
+                g[group] = g[group] + _padk(reduce_rows(
                     contrib, b.rb_local, b.rb_base, b.info.nt, b.info.ts,
-                    b.info.rb, g[group].shape[0])
+                    b.info.rb, g[group].shape[0]), b.rig_k)
             elif group == fct.GRAVITY:
                 g[group] = g[group] + jnp.sum(contrib, axis=-1)
             else:
@@ -419,14 +495,14 @@ def _diag(vis, rest, v):
     )
     d = {k: d[k] + getattr(d_rest, k) for k in d}
     for b in vis:
-        if _rig_only_fast(b):
-            continue  # fused into seg_assemble_rig (assemble)
+        if _single_pass(b):
+            continue  # fused into seg_assemble_rig/_cal (assemble)
         for group, idx, J, ell in zip(b.groups, b.idx, b.jac, b.ells):
             contrib = jnp.einsum("dkn,dkn->kn", J, J * b.w[None, None, :])
             if group == fct.RIG:
-                d[group] = d[group] + reduce_rows(
+                d[group] = d[group] + _padk(reduce_rows(
                     contrib, b.rb_local, b.rb_base, b.info.nt, b.info.ts,
-                    b.info.rb, d[group].shape[0])
+                    b.info.rb, d[group].shape[0]), b.rig_k)
             elif group == fct.GRAVITY:
                 d[group] = d[group] + jnp.sum(contrib, axis=-1)
             else:
@@ -461,9 +537,10 @@ def _precond_blocks_static(vis, rest, v, masks):
                     ell, idx, B, blocks[group].shape[0])
     A_rp = []
     for b in vis:
-        if _rig_only_fast(b):
+        if _single_pass(b):
             # whole rig block (J^T w J - Schur correction) is computed by the
-            # fused per-lambda kernel (seg_precond_rig) — nothing static here
+            # fused per-lambda kernel (seg_precond_rig); cal-fast window
+            # blocks come from seg_assemble_cal — nothing static here
             A_rp.append(None)
             continue
         A_b = None
@@ -471,14 +548,14 @@ def _precond_blocks_static(vis, rest, v, masks):
             Jw = J * b.w[None, None, :]
             B = jnp.einsum("dan,dbn->abn", Jw, J)
             if group == fct.RIG:
-                A_b = jnp.einsum("dan,dbn->abn", Jw, b.J_pt)  # (12, 3, N)
+                A_b = jnp.einsum("dan,dbn->abn", Jw, b.J_pt)  # (rig_k, 3, N)
                 k = B.shape[0]
                 red = reduce_rows(
                     B.reshape(k * k, -1).astype(jnp.bfloat16),
                     b.rb_local, b.rb_base, b.info.nt, b.info.ts, b.info.rb,
                     blocks[group].shape[0])
-                blocks[group] = blocks[group] + red.reshape(-1, k, k).astype(
-                    blocks[group].dtype)
+                blocks[group] = blocks[group] + _padkk(
+                    red.reshape(-1, k, k), k).astype(blocks[group].dtype)
             elif group == fct.GRAVITY:
                 blocks[group] = blocks[group].at[0].add(jnp.sum(B, axis=-1))
             else:
@@ -502,16 +579,18 @@ def _precond_finish(asm: "RcsAsm", v, masks, lam, H_ll_inv, precond="gauss_seide
     schur_corr = precond in ("gauss_seidel", "lower_prec")
     blocks = dict(asm.blocks0)
     for b, A in zip(asm.vis, asm.A_rp):
-        if _rig_only_fast(b):
-            (J,) = b.jac
+        if _single_pass(b):
+            J = b.jac[0]
             # with the correction disabled the fused kernel still produces
             # the plain J^T w J rig blocks (H_ll_inv of zero zeroes the
-            # subtracted term exactly)
+            # subtracted term exactly). For cal-fast batches the window
+            # blocks were accumulated lambda-free in seg_assemble_cal.
             Hinv_used = H_ll_inv if schur_corr else jnp.zeros_like(H_ll_inv)
-            blocks[fct.RIG] = blocks[fct.RIG] + seg.seg_precond_rig(
+            blocks[fct.RIG] = blocks[fct.RIG] + _padkk(seg.seg_precond_rig(
                 J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib,
                 Hinv_used, b.rb_base, b.info.nt, b.info.ts, b.info.rb,
-                b.info.prb2 // 128, b.info.nhg, blocks[fct.RIG].shape[0])
+                b.info.prb2 // 128, b.info.nhg, blocks[fct.RIG].shape[0]),
+                b.rig_k)
             continue
         if A is None or not schur_corr:
             continue
@@ -522,8 +601,8 @@ def _precond_finish(asm: "RcsAsm", v, masks, lam, H_ll_inv, precond="gauss_seide
             corr.reshape(k * k, -1).astype(jnp.bfloat16),
             b.rb_local, b.rb_base, b.info.nt, b.info.ts, b.info.rb,
             blocks[fct.RIG].shape[0])
-        blocks[fct.RIG] = blocks[fct.RIG] - red.reshape(-1, k, k).astype(
-            blocks[fct.RIG].dtype)
+        blocks[fct.RIG] = blocks[fct.RIG] - _padkk(
+            red.reshape(-1, k, k), k).astype(blocks[fct.RIG].dtype)
     inv = {}
     for g, B in blocks.items():
         dim = B.shape[-1]
@@ -552,21 +631,40 @@ def assemble(cfgs, datas, lg, v, masks: Masks) -> RcsAsm:
     H_ll0 = _point_blocks_blocked(vis, rest, v, None)
     diag_r = _diag(vis, rest, v)
     g_r, g_l = _grad(pairs, rest, v)
-    # fast batches: gradient + diagonal + landmark blocks in one fused
-    # kernel pass over the rig grid (segments.seg_assemble_rig)
+    blocks0, A_rp = _precond_blocks_static(vis, rest, v, masks)
+    blocks0 = dict(blocks0)
+    # fast batches: gradient + diagonal + landmark blocks (+ window blocks)
+    # in one fused kernel pass over the rig grid (seg_assemble_rig/_cal)
     for b, lin in pairs:
-        if not _rig_only_fast(b):
+        if _rig_only_fast(b):
+            (J,) = b.jac
+            gr_b, dg_b, gl_b, H_b = seg.seg_assemble_rig(
+                J, b.J_pt, lin.res, b.w, b.rb_local, b.rg_pt_local, b.rg_hib,
+                b.rb_base, v.points.shape[0], b.info.nt, b.info.ts, b.info.rb,
+                b.info.prb2 // 128, b.info.nhg, g_r.rig.shape[0])
+        elif _cal_fast(b):
+            J = b.jac[0]
+            n_c = (v.cam_intr.shape[0] if b.cal_groups[0][0] == fct.CAM_INTR
+                   else v.cam_extr_q.shape[0])
+            gr_b, dg_b, gc_b, dc_b, blocks_c, gl_b, H_b = seg.seg_assemble_cal(
+                J, b.J_cal, b.J_pt, lin.res, b.w, b.rb_local, b.cal_local,
+                b.rg_pt_local, b.rg_hib, b.rb_base, b.cal_base,
+                v.points.shape[0], b.info.nt, b.info.ts, b.info.rb,
+                b.info.wb, b.info.prb2 // 128, b.info.nhg,
+                g_r.rig.shape[0], n_c, tuple(d for _, d in b.cal_groups))
+            gd = g_r._asdict()
+            dd = diag_r._asdict()
+            gd = _cal_scatter_back(b, gd, gc_b)
+            dd = _cal_scatter_back(b, dd, dc_b)
+            g_r, diag_r = Tangent(**gd), Tangent(**dd)
+            for (g, _), Bc in zip(b.cal_groups, blocks_c):
+                blocks0[g] = blocks0[g] + Bc
+        else:
             continue
-        (J,) = b.jac
-        gr_b, dg_b, gl_b, H_b = seg.seg_assemble_rig(
-            J, b.J_pt, lin.res, b.w, b.rb_local, b.rg_pt_local, b.rg_hib,
-            b.rb_base, v.points.shape[0], b.info.nt, b.info.ts, b.info.rb,
-            b.info.prb2 // 128, b.info.nhg, g_r.rig.shape[0])
-        g_r = g_r._replace(rig=g_r.rig + gr_b)
-        diag_r = diag_r._replace(rig=diag_r.rig + dg_b)
+        g_r = g_r._replace(rig=g_r.rig + _padk(gr_b, b.rig_k))
+        diag_r = diag_r._replace(rig=diag_r.rig + _padk(dg_b, b.rig_k))
         g_l = g_l + gl_b
         H_ll0 = H_ll0 + H_b
-    blocks0, A_rp = _precond_blocks_static(vis, rest, v, masks)
     return RcsAsm(vis, rest, rest_pt, H_ll0, diag_r, g_r, g_l, A_rp, blocks0)
 
 
@@ -587,14 +685,19 @@ def with_damping(asm: RcsAsm, v, masks, lam, precond="gauss_seidel") -> RcsSyste
 # ---------------------------------------------------------------------------
 
 
+def _rig_cols(x_rig, k):
+    """First k columns of the (R, 12) rig table (cheap lane slice)."""
+    return jax.lax.slice_in_dim(x_rig, 0, k, axis=1) if k < 12 else x_rig
+
+
 def _vis_u(b: VisBatch, x: Tangent):
     """u = sum_g J_g x_g over non-point groups (d, N), rig order."""
     u = None
     for group, idx, J in zip(b.groups, b.idx, b.jac):
         if group == fct.RIG:
-            term = seg.seg_mv_gather_table(J, getattr(x, group), b.rb_local,
-                                           b.rb_base, b.info.nt, b.info.ts,
-                                           b.info.rb)
+            term = seg.seg_mv_gather_table(J, _rig_cols(x.rig, b.rig_k),
+                                           b.rb_local, b.rb_base, b.info.nt,
+                                           b.info.ts, b.info.rb)
             u = term if u is None else u + term
             continue
         elif group == fct.GRAVITY:
@@ -610,9 +713,9 @@ def _vis_scatter(b: VisBatch, y: dict, wu):
     """y_g += J_g^T wu for non-point groups."""
     for group, idx, J, ell in zip(b.groups, b.idx, b.jac, b.ells):
         if group == fct.RIG:
-            y[group] = y[group] + seg.seg_mv_scatter_table(
+            y[group] = y[group] + _padk(seg.seg_mv_scatter_table(
                 J, wu, b.rb_local, b.rb_base, b.info.nt, b.info.ts,
-                b.info.rb, y[group].shape[0])
+                b.info.rb, y[group].shape[0]), b.rig_k)
             continue
         contrib = jnp.einsum("dkn,dn->kn", J, wu)
         if group == fct.GRAVITY:
@@ -636,8 +739,19 @@ def w_transpose_x(rs: RcsSystem, v, x: Tangent):
         if _rig_only_fast(b):
             (J,) = b.jac
             _, t_b = seg.seg_schur_down(
-                J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib, x.rig,
+                J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib,
+                _rig_cols(x.rig, b.rig_k),
                 b.rb_base, t.shape[0], b.info.nt, b.info.ts, b.info.rb,
+                b.info.prb2 // 128, b.info.nhg)
+            t = t + t_b
+            continue
+        if _cal_fast(b):
+            J = b.jac[0]
+            _, _, t_b = seg.seg_schur_down_cal(
+                J, b.J_cal, b.J_pt, b.w, b.rb_local, b.cal_local,
+                b.rg_pt_local, b.rg_hib, _rig_cols(x.rig, b.rig_k),
+                _cal_table(b, x), b.rb_base, b.cal_base, t.shape[0],
+                b.info.nt, b.info.ts, b.info.rb, b.info.wb,
                 b.info.prb2 // 128, b.info.nhg)
             t = t + t_b
             continue
@@ -662,10 +776,21 @@ def w_y(rs: RcsSystem, v, yl):
     for b in rs.vis:
         if _rig_only_fast(b):
             (J,) = b.jac
-            y[fct.RIG] = y[fct.RIG] + seg.seg_schur_up(
+            y[fct.RIG] = y[fct.RIG] + _padk(seg.seg_schur_up(
                 J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib, yl,
                 b.rb_base, b.info.nt, b.info.ts, b.info.rb,
-                b.info.prb2 // 128, b.info.nhg, y[fct.RIG].shape[0])
+                b.info.prb2 // 128, b.info.nhg, y[fct.RIG].shape[0]), b.rig_k)
+            continue
+        if _cal_fast(b):
+            J = b.jac[0]
+            n_c = y[b.cal_groups[0][0]].shape[0]
+            y_r, y_c = seg.seg_schur_up_cal(
+                J, b.J_cal, b.J_pt, b.w, b.rb_local, b.cal_local,
+                b.rg_pt_local, b.rg_hib, yl, b.rb_base, b.cal_base,
+                b.info.nt, b.info.ts, b.info.rb, b.info.wb,
+                b.info.prb2 // 128, b.info.nhg, y[fct.RIG].shape[0], n_c)
+            y[fct.RIG] = y[fct.RIG] + _padk(y_r, b.rig_k)
+            y = _cal_scatter_back(b, y, y_c)
             continue
         y = _vis_scatter(b, y, _pt_expand(b, yl))
     out = Tangent(**y)
@@ -682,6 +807,37 @@ def _rig_only_fast(b: VisBatch):
     return b.groups == (fct.RIG,) and b.info.prb2 > 0 and b.info.nhg > 0
 
 
+def _cal_fast(b: VisBatch):
+    """Batch qualifies for the single-pass CALIB-coupled kernels: rig + the
+    cam_extr/cam_intr window groups (folded into J_cal), bounded per-tile
+    point AND window ranges (full-sensor sessions stay off the two-grid
+    permute path)."""
+    return (bool(b.cal_groups) and b.J_cal is not None
+            and b.info.prb2 > 0 and b.info.nhg > 0 and b.info.wb > 0
+            and b.groups[0] == fct.RIG
+            and len(b.groups) == 1 + len(b.cal_groups))
+
+
+def _single_pass(b: VisBatch):
+    return _rig_only_fast(b) or _cal_fast(b)
+
+
+def _cal_table(b: VisBatch, x: Tangent):
+    """Concatenated (n_c, kc) window table in cal_groups order."""
+    parts = [getattr(x, g) for g, _ in b.cal_groups]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+def _cal_scatter_back(b: VisBatch, y: dict, y_c):
+    """Split a (n_c, kc) cal result back into its group tables."""
+    off = 0
+    n_c = y_c.shape[0]
+    for g, dim in b.cal_groups:
+        y[g] = y[g] + jax.lax.slice(y_c, (0, off), (n_c, off + dim))
+        off += dim
+    return y
+
+
 def matvec(rs: RcsSystem, v, x: Tangent) -> Tangent:
     """S x = (H_rr + damping) x - W H_ll^-1 W^T x.
 
@@ -696,18 +852,31 @@ def matvec(rs: RcsSystem, v, x: Tangent) -> Tangent:
         if _rig_only_fast(b):
             (J,) = b.jac
             y_tab, t_b = seg.seg_schur_down(
-                J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib, x.rig,
+                J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib,
+                _rig_cols(x.rig, b.rig_k),
                 b.rb_base, t.shape[0], b.info.nt, b.info.ts, b.info.rb,
                 b.info.prb2 // 128, b.info.nhg)
-            y[fct.RIG] = y[fct.RIG] + y_tab
+            y[fct.RIG] = y[fct.RIG] + _padk(y_tab, b.rig_k)
+            t = t + t_b
+            continue
+        if _cal_fast(b):
+            J = b.jac[0]
+            y_r, y_c, t_b = seg.seg_schur_down_cal(
+                J, b.J_cal, b.J_pt, b.w, b.rb_local, b.cal_local,
+                b.rg_pt_local, b.rg_hib, _rig_cols(x.rig, b.rig_k),
+                _cal_table(b, x), b.rb_base, b.cal_base, t.shape[0],
+                b.info.nt, b.info.ts, b.info.rb, b.info.wb,
+                b.info.prb2 // 128, b.info.nhg)
+            y[fct.RIG] = y[fct.RIG] + _padk(y_r, b.rig_k)
+            y = _cal_scatter_back(b, y, y_c)
             t = t + t_b
             continue
         if b.groups == (fct.RIG,):
             (J,) = b.jac
             wu, y_tab = seg.seg_mv_fused_table(
-                J, b.w, x.rig, b.rb_local, b.rb_base, b.info.nt, b.info.ts,
-                b.info.rb)
-            y[fct.RIG] = y[fct.RIG] + y_tab
+                J, b.w, _rig_cols(x.rig, b.rig_k), b.rb_local, b.rb_base,
+                b.info.nt, b.info.ts, b.info.rb)
+            y[fct.RIG] = y[fct.RIG] + _padk(y_tab, b.rig_k)
         else:
             wu = _vis_u(b, x) * b.w[None, :]
             y = _vis_scatter(b, y, wu)
@@ -740,32 +909,104 @@ def _apply_precond(rs: RcsSystem, r: Tangent) -> Tangent:
     )
 
 
+# --- packed PCG state ------------------------------------------------------
+# The PCG loop ops (dots, axpys, preconditioner apply) over the 7-leaf
+# Tangent tree cost ~0.7 ms/iteration in small-op overhead on v5e (PERF_NOTES
+# candidate #1). Packing the reduced state into ONE (nb, K) array — rows
+# partition the groups, columns padded to the widest tangent dim — turns
+# each dot/axpy into a single fused op and the block-Jacobi apply into one
+# masked elementwise contraction. Pads stay exactly zero end to end (packed
+# inputs are zero-padded, preconditioner blocks are zero outside their
+# group's dims), so packed dots equal the tree t_dot bit-for-bit up to
+# reduction order.
+
+
+def _pack_info(t: Tangent):
+    counts, dims = [], []
+    for f in Tangent._fields:
+        a = getattr(t, f)
+        if a.ndim == 1:  # gravity
+            counts.append(1)
+            dims.append(a.shape[0])
+        else:
+            counts.append(a.shape[0])
+            dims.append(a.shape[1])
+    return tuple(counts), tuple(dims), max(dims)
+
+
+def pack_t(t: Tangent, counts, dims, K):
+    parts = []
+    for f, dim in zip(Tangent._fields, dims):
+        a = getattr(t, f)
+        if a.ndim == 1:
+            a = a[None, :]
+        parts.append(jnp.pad(a, ((0, 0), (0, K - dim))))
+    return jnp.concatenate(parts, axis=0)
+
+
+def unpack_t(x, counts, dims, K):
+    out = {}
+    off = 0
+    for f, n, dim in zip(Tangent._fields, counts, dims):
+        a = jax.lax.slice(x, (off, 0), (off + n, dim))
+        out[f] = a[0] if f == "gravity" else a
+        off += n
+    return Tangent(**out)
+
+
+def pack_blocks(p: Tangent, counts, dims, K):
+    """Block-Jacobi inverse blocks -> one (nb, K, K) stack, zero-padded."""
+    parts = []
+    for f, dim in zip(Tangent._fields, dims):
+        B = getattr(p, f)
+        if B.ndim == 2:  # gravity (2, 2)
+            B = B[None]
+        parts.append(jnp.pad(B, ((0, 0), (0, K - dim), (0, K - dim))))
+    return jnp.concatenate(parts, axis=0)
+
+
 def pcg(rs: RcsSystem, v, b: Tangent, max_iters: int, rel_tol):
-    b_norm2 = t_dot(b, b)
-    x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
-    z0 = _apply_precond(rs, b)
-    rz0 = t_dot(b, z0)
+    counts, dims, K = _pack_info(b)
+    bp = pack_t(b, counts, dims, K)
+    Pm = (pack_blocks(rs.precond_inv, counts, dims, K)
+          if rs.precond_inv is not None else None)
+
+    def mv(xp):
+        y = matvec(rs, v, unpack_t(xp, counts, dims, K))
+        return pack_t(y, counts, dims, K)
+
+    def prec(rp):
+        if Pm is None:
+            return rp
+        # elementwise contraction (VPU, f32/f64-exact): a batched matmul
+        # would round through bf16 on the MXU at DEFAULT precision
+        return jnp.sum(Pm * rp[:, None, :], axis=-1)
+
+    b_norm2 = jnp.vdot(bp, bp)
+    x0 = jnp.zeros_like(bp)
+    z0 = prec(bp)
+    rz0 = jnp.vdot(bp, z0)
 
     def cond(state):
         _, r, _, _, it, _ = state
-        return (it < max_iters) & (t_dot(r, r) > rel_tol * rel_tol * b_norm2)
+        return (it < max_iters) & (jnp.vdot(r, r) > rel_tol * rel_tol * b_norm2)
 
     def body(state):
         x, r, z, p, it, rz = state
-        Ap = matvec(rs, v, p)
-        pAp = t_dot(p, Ap)
+        Ap = mv(p)
+        pAp = jnp.vdot(p, Ap)
         alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
-        x = t_axpy(alpha, p, x)
-        r = t_axpy(-alpha, Ap, r)
-        z = _apply_precond(rs, r)
-        rz_new = t_dot(r, z)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = prec(r)
+        rz_new = jnp.vdot(r, z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-        p = t_axpy(beta, p, z)
+        p = z + beta * p
         return (x, r, z, p, it + 1, rz_new)
 
-    x, r, _, _, iters, _ = jax.lax.while_loop(cond, body, (x0, b, z0, z0, 0, rz0))
-    rel = jnp.sqrt(t_dot(r, r) / jnp.where(b_norm2 == 0, 1.0, b_norm2))
-    return x, rel, iters
+    x, r, _, _, iters, _ = jax.lax.while_loop(cond, body, (x0, bp, z0, z0, 0, rz0))
+    rel = jnp.sqrt(jnp.vdot(r, r) / jnp.where(b_norm2 == 0, 1.0, b_norm2))
+    return unpack_t(x, counts, dims, K), rel, iters
 
 
 def solve_assembled(asm: RcsAsm, v, masks, lam, max_iters=250, rel_tol=1e-10,
