@@ -98,6 +98,35 @@ class TestPinhole:
         np.testing.assert_allclose(cos, 1.0, atol=1e-12)
 
 
+def test_fisheye624_matches_golden():
+    """Golden project pairs from an INDEPENDENT scalar 50-digit-mpmath
+    re-derivation of the published FisheyeRadTanThinPrism model
+    (tools_dev/gen_fisheye_golden.py; the SDK delegation this replaces is
+    interfaces/ark/camera_model/CameraModelParam.h:35-60). Sub-1e-6-px
+    agreement across three parameter sets incl. zero- and strong-distortion."""
+    import json
+    import pathlib
+
+    data = json.loads(
+        (pathlib.Path(__file__).parent / "data/fisheye624_golden.json").read_text()
+    )
+    assert len(data) >= 3
+    for case in data:
+        params = jnp.asarray(case["params"], jnp.float64)
+        pts = jnp.asarray([p["point"] for p in case["pairs"]], jnp.float64)
+        uv_gold = np.asarray([p["uv"] for p in case["pairs"]])
+        uv, valid = camera.project(camera.KIND_FISHEYE624, params, pts)
+        assert bool(jnp.all(valid))
+        err = np.linalg.norm(np.asarray(uv) - uv_gold, axis=-1)
+        assert err.max() < 1e-6, err.max()
+        # and unprojection recovers the golden ray directions
+        rays = camera.unproject(camera.KIND_FISHEYE624, params,
+                                jnp.asarray(uv_gold))
+        cos = jnp.sum(rays * pts, axis=-1) / (
+            jnp.linalg.norm(pts, axis=-1) * jnp.linalg.norm(rays, axis=-1))
+        np.testing.assert_allclose(np.asarray(cos), 1.0, atol=1e-9)
+
+
 def test_pad_params():
     p = camera.pad_params(ARIA_LIKE, readout=0.016, time_offset=1e-3)
     assert p.shape == (17,)

@@ -235,5 +235,36 @@ def test_cli_main_end_to_end(session_dir, tmp_path, capsys):
     assert "proj_offset" in capsys.readouterr().out
 
 
+@pytest.mark.slow
+def test_cli_compute_covariances(session_dir, tmp_path):
+    """--compute-covariances writes per-rig 12x12 blocks + per-window IMU
+    calib covariances from ONE linearization (VERDICT item 6)."""
+    out = tmp_path / "cov_out"
+    rc = cli.main([
+        "-i", str(session_dir), "-o", str(out),
+        "--calib-constant", "cam-all",
+        "--imu-calib-estimation-options", "gyro-bias,accel-bias",
+        "--max-num-iterations", "2",
+        "--compute-covariances", "--covariance-pcg-iterations", "150",
+    ])
+    assert rc == 0
+    txt = (out / "rig_covariances.csv").read_text().splitlines()
+    sd = sio.load_session(session_dir)
+    adapter = SessionAdapter(sd, _opts([]), log=None)
+    assert len(txt) == 1 + adapter.R
+    row = np.array([float(x) for x in txt[1].split(",")[1:]])
+    assert np.isfinite(row).all()
+    assert (row[:12] >= 0).all()  # stddevs
+    B = row[12:].reshape(12, 12)
+    assert np.allclose(B, B.T)
+    assert (np.diag(B) >= 0).all() and np.diag(B).max() > 0
+    recs = [json.loads(ln) for ln in
+            (out / "imu_calib_covariances.jsonl").read_text().splitlines()]
+    assert recs and recs[0]["dims"]
+    K = len(recs[0]["dims"])
+    C = np.asarray(recs[0]["cov"]).reshape(K, K)
+    assert (np.diag(C) > 0).all()
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])

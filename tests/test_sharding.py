@@ -1,0 +1,121 @@
+"""Tile-sharded blocked engine over a virtual 8-device CPU mesh.
+
+VERDICT round-1 item 2: the multi-chip path must run the BLOCKED single-pass
+engine, not the generic gather path — these tests assert (a) one sharded LM
+step equals the single-device blocked step to tolerance, (b) a short sharded
+optimize() converges to the single-device result, (c) the dryrun entry
+exercises the blocked engine.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visual_inertial_bundle_adjustment_tpu.parallel.sharding import (
+    make_mesh,
+    shard_blocked_problem,
+)
+from visual_inertial_bundle_adjustment_tpu.pipeline.builder import (
+    BuildOptions,
+    build_synthetic_problem,
+)
+from visual_inertial_bundle_adjustment_tpu.pipeline.synthetic import SyntheticSession
+from visual_inertial_bundle_adjustment_tpu.problem import rcs
+from visual_inertial_bundle_adjustment_tpu.problem.optimizer import LMSettings, optimize
+
+
+def _problem(**build_kw):
+    s = SyntheticSession(duration=6.0, keyframe_hz=5.0, gyro_hz=200.0,
+                         accel_hz=200.0, num_points=60, seed=3, pixel_noise=0.2)
+    return build_synthetic_problem(
+        s, BuildOptions(init_pose_noise=0.01, init_point_noise=0.05,
+                        init_vel_noise=0.05, **build_kw))
+
+
+def _one_step(problem, lam=1e-4, iters=400, tol=1e-13):
+    ks = problem._build()
+    k_lin, k_assemble, k_step = ks[0], ks[6], ks[7]
+    datas = tuple(problem.datas)
+    v, masks = problem.variables, problem.masks
+    lg = k_lin(datas, v, masks, None)
+    asm = k_assemble(datas, lg, v, masks)
+    out = k_step(asm, datas, lg, v, masks, jnp.asarray(lam, v.points.dtype),
+                 iters, tol)
+    # (x_r, x_l, model_red, rel, it, rs, (g_r, g_l), v_new, ratios, stats, ...)
+    return lg, out
+
+
+def test_sharded_step_matches_single_device():
+    n = jax.device_count()
+    assert n >= 8, "conftest must force an 8-device CPU mesh"
+    pa = _problem()
+    pb = _problem()
+    rcs.finalize_blocks(pa, rb=8, prb=16, ts=64)
+    assert any(getattr(c, "block_info", None) for c in pa.cfgs)
+    lg_a, out_a = _one_step(pa)
+
+    mesh = make_mesh(8)
+    shard_blocked_problem(pb, mesh, rb=8, prb=16, ts=64)
+    lg_b, out_b = _one_step(pb)
+
+    np.testing.assert_allclose(float(lg_a.cost), float(lg_b.cost), rtol=1e-12)
+    assert int(lg_a.num_invalid) == int(lg_b.num_invalid)
+    assert int(lg_a.num_optional) == int(lg_b.num_optional)
+
+    # converged solutions agree (same damped Schur system, summation order
+    # differs only by the tile padding)
+    x_a, x_b = out_a[0], out_b[0]
+    for f in x_a._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(x_a, f)), np.asarray(getattr(x_b, f)),
+            rtol=1e-3, atol=1e-6, err_msg=f)
+    np.testing.assert_allclose(np.asarray(out_a[1]), np.asarray(out_b[1]),
+                               rtol=1e-3, atol=1e-6)  # landmark step
+    np.testing.assert_allclose(float(out_a[2]), float(out_b[2]), rtol=1e-8)
+    # new-cost stats agree
+    np.testing.assert_allclose(float(out_a[9].cost), float(out_b[9].cost),
+                               rtol=1e-7)
+
+
+@pytest.mark.slow
+def test_sharded_optimize_matches_single_device():
+    pa = _problem()
+    pb = _problem()
+    rcs.finalize_blocks(pa, rb=8, prb=16, ts=64)
+    sa = optimize(pa, LMSettings(max_iterations=6))
+    mesh = make_mesh(8)
+    shard_blocked_problem(pb, mesh, rb=8, prb=16, ts=64)
+    sb = optimize(pb, LMSettings(max_iterations=6))
+    np.testing.assert_allclose(sa.final_cost, sb.final_cost, rtol=1e-5)
+
+
+def test_sharded_cal_step_matches_single_device():
+    """Calib-coupled (cam intr+extr active) batches under tile sharding."""
+    pa = _problem(estimate_cam_intr=True, estimate_cam_extr=True)
+    pb = _problem(estimate_cam_intr=True, estimate_cam_extr=True)
+    rcs.finalize_blocks(pa, rb=8, prb=16, ts=64)
+    lg_a, out_a = _one_step(pa)
+    mesh = make_mesh(8)
+    shard_blocked_problem(pb, mesh, rb=8, prb=16, ts=64)
+    assert any(getattr(c, "block_info", None) and c.block_info.wb > 0
+               for c in pb.cfgs)
+    lg_b, out_b = _one_step(pb)
+    np.testing.assert_allclose(float(lg_a.cost), float(lg_b.cost), rtol=1e-12)
+    x_a, x_b = out_a[0], out_b[0]
+    for f in ("rig", "cam_intr", "cam_extr", "gravity"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(x_a, f)), np.asarray(getattr(x_b, f)),
+            rtol=1e-3, atol=1e-6, err_msg=f)
+
+
+def test_dryrun_runs_blocked_engine():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])

@@ -54,6 +54,368 @@ def _pad_batch(data: dict, n_pad: int):
     return out
 
 
+# ---------------------------------------------------------------------------
+# FAST multi-chip path: the blocked ragged-tile engine, sharded by TILES.
+#
+# Tiles are independent by construction (each addresses its own 8-aligned
+# windows of the rig/calib tables and a bounded landmark window), so the
+# tile grid shards over the 'kf' axis with variable tables replicated; every
+# factor->table reduction runs per-shard in the Pallas kernels and is
+# completed by ONE psum of the small output tables (problem/rcs.py
+# _maybe_psum). Per-PCG-iteration collective payload = the reduced tables
+# (~(R,12) + calib windows + (L,3)), a few hundred KB over ICI.
+#
+# This replaces the slow generic-GSPMD path (shard_problem above, kept for
+# problems the single-pass kernels cannot express) — the reference mechanism
+# being replaced is dispenso's shared-memory factor-chunk parallel_for +
+# atomic scatter-adds (lib/small_thing/Factor.h:668-734, AtomicOps.h:21-112).
+# ---------------------------------------------------------------------------
+
+
+def _active_groups(problem):
+    from ..problem import factors as fct
+
+    ga = {
+        g: bool(np.asarray(getattr(problem.masks, g)).any())
+        for g in fct.GROUP_DIMS
+        if g != fct.POINTS
+    }
+    ga[fct.POINTS] = bool(np.asarray(problem.masks.points).any())
+    return ga
+
+
+def _resolved_cfgs(problem, ga):
+    import dataclasses as _dc
+
+    from ..problem import factors as fct
+
+    return tuple(
+        _dc.replace(
+            c,
+            active_groups=tuple(
+                g for g, _ in fct.REGISTRY[c.kind]["tangents"] if ga[g]
+            ),
+        )
+        for c in problem.cfgs
+    )
+
+
+def shard_blocked_problem(problem, mesh: Mesh, axis: str = "kf", **finalize_kw):
+    """Blocked layout + tile-sharding over the mesh.
+
+    Requires every blocked batch to qualify for the single-pass kernels
+    (bounded per-tile point/window ranges): raises ValueError otherwise —
+    fall back to shard_problem for exotic layouts."""
+    from ..problem import factors as fct
+    from ..problem import rcs
+
+    n = mesh.devices.size
+    rcs.finalize_blocks(problem, **finalize_kw)
+    ga = _active_groups(problem)
+    sharded0 = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
+
+    new_datas = []
+    for cfg, data in zip(problem.cfgs, problem.datas):
+        info = getattr(cfg, "block_info", None)
+        if info is None:
+            # generic batch: zero-weight row padding to a multiple of n
+            data = {k: a for k, a in data.items() if not k.startswith("_ell")}
+            size = next(a.shape[0] for a in data.values()
+                        if hasattr(a, "ndim") and a.ndim >= 1)
+            data = _pad_batch(data, (-size) % n)
+        else:
+            groups = tuple(
+                g for g, _ in fct.REGISTRY[cfg.kind]["tangents"]
+                if ga[g] and g != fct.POINTS
+            )
+            cal_ok = (info.wb > 0 and "_cb_local" in data and groups
+                      and groups[0] == fct.RIG
+                      and all(g in (fct.RIG, fct.CAM_EXTR, fct.CAM_INTR)
+                              for g in groups))
+            if not (info.prb2 > 0 and info.nhg > 0
+                    and (groups == (fct.RIG,) or cal_ok)):
+                raise ValueError(
+                    f"batch {cfg.label or cfg.kind} is not single-pass "
+                    "eligible; use shard_problem (generic GSPMD) instead"
+                )
+            # drop the point-grid plan (global permutation — single-pass
+            # batches never use it) and pad the TILE grid to n | nt
+            data = {k: a for k, a in data.items()
+                    if not (k.startswith("_pt_") or k.startswith("_ell"))}
+            nt, ts, rb = info.nt, info.ts, info.rb
+            nt_pad = -(-nt // n) * n
+            extra = nt_pad - nt
+            if extra:
+                def pad_rows(k, a):
+                    a = np.asarray(a)
+                    if a.ndim >= 1 and a.shape[0] == nt * ts:
+                        fill = np.zeros((extra * ts,) + a.shape[1:], a.dtype)
+                        if k == "_pad":
+                            fill[:] = 1.0
+                        return np.concatenate([a, fill], 0)
+                    if a.ndim >= 1 and a.shape[0] == nt:
+                        return np.concatenate(
+                            [a, np.zeros((extra,) + a.shape[1:], a.dtype)], 0)
+                    if a.ndim >= 1 and a.shape[0] == nt * rb:
+                        return np.concatenate(
+                            [a, np.zeros((extra * rb,) + a.shape[1:], a.dtype)], 0)
+                    if a.ndim == 2 and a.shape[1] == nt * ts:  # _uvT/_sh4
+                        return np.concatenate(
+                            [a, np.zeros(a.shape[:1] + (extra * ts,), a.dtype)], 1)
+                    return a
+                data = {
+                    k: (pad_rows(k, a) if hasattr(a, "ndim") else a)
+                    for k, a in data.items()
+                }
+            import dataclasses as _dc
+
+            idx = problem.cfgs.index(cfg)
+            problem.cfgs[idx] = _dc.replace(
+                cfg, block_info=_dc.replace(info, nt=nt_pad))
+        new_datas.append(data)
+
+    # placement: factor-axis arrays sharded, everything else replicated
+    placed_datas = []
+    for cfg, data in zip(problem.cfgs, new_datas):
+        specs = _data_specs(cfg, data, axis)
+        placed = {}
+        for k, a in data.items():
+            if hasattr(a, "ndim"):
+                placed[k] = jax.device_put(
+                    jnp.asarray(a), NamedSharding(mesh, specs[k]))
+            elif isinstance(a, tuple):  # e.g. RSTables: replicated pytree
+                placed[k] = jax.device_put(a, replicated)
+            else:
+                placed[k] = a
+        placed_datas.append(placed)
+    problem.datas = placed_datas
+    problem.variables = jax.device_put(problem.variables, replicated)
+    problem.masks = jax.device_put(problem.masks, replicated)
+    problem.mesh = mesh
+    problem.mesh_axis = axis
+    problem.use_transpose_plans = False  # global-row ELL plans don't shard
+    problem._blocked_done = True
+    problem._jits = None
+    del sharded0
+    return problem
+
+
+def _data_specs(cfg, data, ax):
+    """PartitionSpec per data array: the factor/tile axis shards, the rest
+    replicates. Factor-axis arrays are recognized by their leading dim
+    (== padded N or nt or nt*rb); _uvT/_sh4 carry the factor axis LAST."""
+    info = getattr(cfg, "block_info", None)
+    if info is not None:
+        N = info.nt * info.ts
+        tile_sizes = {info.nt, info.nt * info.rb}
+    else:
+        N = max(
+            (a.shape[0] for a in data.values()
+             if hasattr(a, "ndim") and a.ndim >= 1 and not isinstance(a, tuple)),
+            default=0,
+        )
+        tile_sizes = set()
+    specs = {}
+    for k, a in data.items():
+        if not hasattr(a, "ndim"):
+            specs[k] = P()
+            continue
+        if k in ("_uvT", "_sh4"):
+            specs[k] = P(None, ax)
+        elif a.ndim >= 1 and (a.shape[0] == N or a.shape[0] in tile_sizes):
+            specs[k] = P(ax, *([None] * (a.ndim - 1)))
+        else:
+            specs[k] = P()
+    return specs
+
+
+def build_sharded_kernels(problem):
+    """The Problem._build kernel tuple, with every factor-touching kernel
+    wrapped in shard_map over the problem's mesh. Per-factor state never
+    crosses the shard_map boundary except the (N,)-shaped stored-cost /
+    validity vectors (sharded); tables and scalars come out replicated via
+    psum. Linearization runs inside the step kernel (cheap residual-only
+    pass in k_lin), so damping retries re-linearize — the rare path."""
+    import dataclasses as _dc
+    from functools import partial
+
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # newer jax
+        from jax import shard_map
+
+    from ..problem import engine
+    from ..problem import factors as fct
+    from ..problem import rcs
+    from ..problem.structure import retract, step_to_var_ratios, t_dot, t_scale
+
+    mesh, ax = problem.mesh, problem.mesh_axis
+    n = mesh.devices.size
+    ga = _active_groups(problem)
+    cfgs_g = _resolved_cfgs(problem, ga)
+    cfgs_l = tuple(
+        _dc.replace(c, block_info=_dc.replace(c.block_info, nt=c.block_info.nt // n))
+        if getattr(c, "block_info", None) else c
+        for c in cfgs_g
+    )
+    dspecs = tuple(_data_specs(c, d, ax) for c, d in zip(cfgs_g, problem.datas))
+
+    def dspec_tree(data, spec):
+        return {
+            k: (jax.tree_util.tree_map(lambda _: P(), a)
+                if isinstance(a, tuple) else spec[k])
+            for k, a in data.items()
+        }
+
+    dspecs_tree = tuple(
+        dspec_tree(d, s) for d, s in zip(problem.datas, dspecs))
+    rep = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)  # noqa: E731
+    vspec = rep(problem.variables)
+    mspec = rep(problem.masks)
+    batch_sizes = tuple(fct._batch_size(d) for d in problem.datas)
+    dtype = problem.variables.points.dtype
+    alive_spec = tuple(P(ax) for _ in problem.datas)
+    fvec_spec = tuple(P(ax) for _ in problem.datas)
+
+    def psum(x):
+        return jax.tree_util.tree_map(lambda a: jax.lax.psum(a, ax), x)
+
+    # ---- k_lin: residual-only pass (costs + validity; no jacobians) -------
+    def lin_fn(datas, v, masks, alive):
+        stored, valid0 = [], []
+        cost = jnp.asarray(0.0, dtype)
+        n_inv = jnp.asarray(0, jnp.int32)
+        n_opt = jnp.asarray(0, jnp.int32)
+        for i, (cfg, data) in enumerate(zip(cfgs_l, datas)):
+            res, valid = fct.residual_batch(cfg, data, v)
+            if fct.REGISTRY[cfg.kind]["optional"]:
+                valid = valid * alive[i]
+            cost_f, _ = engine._batch_cost_terms(cfg, res, valid)
+            stored.append(cost_f)
+            valid0.append(valid)
+            cost = cost + jnp.sum(cost_f)
+            if fct.REGISTRY[cfg.kind]["optional"]:
+                n_inv = n_inv + jnp.sum(valid < 0.5).astype(jnp.int32)
+                if "_pad" in data:
+                    n_opt = n_opt + jnp.sum(data["_pad"] < 0.5).astype(jnp.int32)
+                else:
+                    n_opt = n_opt + valid.shape[0]
+        cost, n_inv, n_opt = psum((cost, n_inv, n_opt))
+        return engine.LinearizedGraph(
+            lins=(), w=(), cost=cost, stored_cost=tuple(stored),
+            valid0=tuple(valid0), num_invalid=n_inv, num_optional=n_opt)
+
+    lg_out_spec = engine.LinearizedGraph(
+        lins=(), w=(), cost=P(), stored_cost=fvec_spec, valid0=fvec_spec,
+        num_invalid=P(), num_optional=P())
+    _k_lin = jax.jit(shard_map(
+        lin_fn, mesh=mesh,
+        in_specs=(dspecs_tree, vspec, mspec, alive_spec),
+        out_specs=lg_out_spec, check_rep=False))
+
+    ones_alive = tuple(jnp.ones(s, dtype) for s in batch_sizes)
+
+    def k_lin(datas, v, masks, alive):
+        return _k_lin(datas, v, masks, ones_alive if alive is None else alive)
+
+    # ---- k_step: linearize + assemble + solve + retract + cost ------------
+    def step_fn(max_iters, rel_tol, precond, datas, valid0, stored, v, masks,
+                lam):
+        lg = engine.linearize(cfgs_l, datas, v, masks, alive=valid0)
+        lg = lg._replace(
+            cost=jax.lax.psum(lg.cost, ax),
+            num_invalid=jax.lax.psum(lg.num_invalid, ax),
+            num_optional=jax.lax.psum(lg.num_optional, ax),
+            stored_cost=tuple(stored), valid0=tuple(valid0))
+        asm = rcs.assemble(cfgs_l, datas, lg, v, masks, axis=ax)
+        out = rcs.solve_assembled(asm, v, masks, lam, max_iters, rel_tol,
+                                  precond, axis=ax)
+        x_r, x_l, model_red, pcg_rel, pcg_it, _, (g_r, g_l) = out
+        step_r, step_l = t_scale(x_r, -1.0), -x_l
+        v_new = retract(v, step_r, step_l, masks)
+        ratios = step_to_var_ratios(v, step_r, step_l)
+        st = engine.comparable_cost(cfgs_l, datas, v_new, lg)
+        stats = engine.CostStats(*psum(tuple(st)))
+        grad_norm = jnp.sqrt(t_dot(g_r, g_r) + jnp.vdot(g_l, g_l))
+        step_norm = jnp.sqrt(t_dot(step_r, step_r) + jnp.vdot(step_l, step_l))
+        return (x_r, x_l, model_red, pcg_rel, pcg_it, jnp.zeros((), dtype),
+                (g_r, g_l), v_new, ratios, stats, grad_norm, step_norm)
+
+    from ..problem.structure import Tangent as _Tangent
+
+    _t_spec = _Tangent(*([P()] * 7))
+    _step_out_spec = (
+        _t_spec, P(), P(), P(), P(), P(), (_t_spec, P()), vspec,
+        (P(), P()), engine.CostStats(P(), P(), P(), P()), P(), P())
+    _k_steps = {}
+
+    def k_step(asm, datas, lg, v, masks, lam, max_iters, rel_tol,
+               precond="gauss_seidel"):
+        key = (max_iters, float(rel_tol), precond)
+        if key not in _k_steps:
+            fn = partial(step_fn, max_iters, rel_tol, precond)
+            _k_steps[key] = jax.jit(shard_map(
+                fn, mesh=mesh,
+                in_specs=(dspecs_tree, fvec_spec, fvec_spec, vspec, mspec,
+                          P()),
+                out_specs=_step_out_spec,
+                check_rep=False))
+        return _k_steps[key](datas, lg.valid0, lg.stored_cost, v, masks, lam)
+
+    def k_solve(asm, datas, lg, v, masks, lam, max_iters, rel_tol,
+                precond="gauss_seidel"):
+        out = k_step(asm, datas, lg, v, masks, lam, max_iters, rel_tol,
+                     precond)
+        return (out[0], out[1], out[2], out[3], out[4], out[5], out[6])
+
+    def k_resolve(lg, v, rs, g_r, g_l, max_iters, rel_tol):
+        raise NotImplementedError(
+            "sub-step re-solve is disabled under mesh sharding "
+            "(per-factor solver state stays shard-local)")
+
+    # ---- k_cost / k_grad / k_retract / k_assemble --------------------------
+    def cost_fn(datas, stored, valid0, v):
+        lg = engine.LinearizedGraph((), (), 0.0, tuple(stored), tuple(valid0),
+                                    0, 0)
+        st = engine.comparable_cost(cfgs_l, datas, v, lg)
+        return engine.CostStats(*psum(tuple(st)))
+
+    _k_cost = jax.jit(shard_map(
+        cost_fn, mesh=mesh,
+        in_specs=(dspecs_tree, fvec_spec, fvec_spec, vspec),
+        out_specs=engine.CostStats(P(), P(), P(), P()), check_rep=False))
+
+    def k_cost(datas, v, lg):
+        return _k_cost(datas, lg.stored_cost, lg.valid0, v)
+
+    def grad_fn(datas, v, masks):
+        return psum(engine.gradient_tangent(cfgs_l, datas, v, masks))
+
+    from ..problem.structure import Tangent
+
+    _k_grad = jax.jit(shard_map(
+        grad_fn, mesh=mesh, in_specs=(dspecs_tree, vspec, mspec),
+        out_specs=(Tangent(*([P()] * 7)), P()), check_rep=False))
+
+    def k_grad(datas, v, masks):
+        return _k_grad(datas, v, masks)
+
+    @jax.jit
+    def k_retract(v, t, tp, masks, scale):
+        t2 = t_scale(t, scale)
+        v2 = retract(v, t2, tp * scale, masks)
+        ratios = step_to_var_ratios(v, t2, tp * scale)
+        return v2, ratios
+
+    @jax.jit
+    def k_assemble(datas, lg, v, masks):
+        return jnp.zeros((), dtype)
+
+    return (k_lin, k_solve, k_resolve, k_cost, k_grad, k_retract,
+            k_assemble, k_step)
+
+
 def shard_problem(problem, mesh: Mesh, axis: str = "kf"):
     """Place batches sharded over the mesh, variables/masks replicated."""
     n = mesh.devices.size

@@ -146,6 +146,13 @@ def build_arg_parser():
                    help="stream per-iteration monitoring data as JSON lines")
     p.add_argument("--simple-stats", action="store_true")
     p.add_argument("--eval-calib-vs-factory", action="store_true")
+    p.add_argument("--compute-covariances", action="store_true",
+                   help="after optimizing, compute per-rig 12x12 joint "
+                        "covariances (pose+vel+omega, gauge-fixed) and "
+                        "per-window IMU-calibration covariances in ONE "
+                        "linearization; written to the output dir "
+                        "(SingleSessionProblem::computeCovariances analog)")
+    p.add_argument("--covariance-pcg-iterations", type=int, default=400)
     return p
 
 
@@ -345,6 +352,10 @@ def main(argv=None):
                 np.asarray(v.vel), np.asarray(v.omega), np.asarray(v.gravity),
             )
         save_online_calib_states(outdir / "online_calibration.jsonl", adapter)
+        if args.compute_covariances:
+            log("Computing covariances (one linearization, batched PCG)...")
+            write_covariances(outdir, adapter, problem,
+                              pcg_iters=args.covariance_pcg_iterations)
         log(f"outputs written to {outdir}")
 
     if args.json_report and summary is not None:
@@ -360,6 +371,46 @@ def main(argv=None):
             json.dump(report, f, indent=1)
 
     return 0
+
+
+def write_covariances(outdir, adapter, problem, pcg_iters=400):
+    """Per-rig 12x12 joint covariances + per-window IMU calib covariances.
+
+    Reference SingleSessionProblem::computeCovariances (.cpp:66-138): gauge
+    fixed by a position+yaw prior on the first rig, one linearization for all
+    requested blocks. rig_covariances.csv rows: timestamp, the 12 tangent
+    stddevs, then the row-major 12x12 block; imu_calib_covariances.jsonl: one
+    record per (window, imu) with enabled dims + block."""
+    from ..problem import covariance as cov
+
+    rigs = list(range(adapter.R))
+    blocks = cov.rig_covariances(problem, rigs, pcg_iters=pcg_iters)
+    with open(outdir / "rig_covariances.csv", "w") as f:
+        f.write("tracking_timestamp_us,"
+                + ",".join(f"std_{i}" for i in range(12)) + ","
+                + ",".join(f"cov_{i}_{j}" for i in range(12) for j in range(12))
+                + "\n")
+        for r in rigs:
+            B = blocks[r]
+            std = np.sqrt(np.maximum(np.diag(B), 0.0))
+            f.write(
+                f"{int(adapter.rig_ts_us[r])},"
+                + ",".join(f"{x:.9g}" for x in std) + ","
+                + ",".join(f"{x:.9g}" for x in B.reshape(-1)) + "\n"
+            )
+    if bool(np.asarray(problem.masks.imu_calib).any()):
+        rows = list(range(problem.variables.imu_calib.shape[0]))
+        cblocks = cov.calib_covariances(problem, "imu_calib", rows,
+                                        pcg_iters=pcg_iters)
+        with open(outdir / "imu_calib_covariances.jsonl", "w") as f:
+            for row in rows:
+                B, dims = cblocks[row]
+                f.write(json.dumps({
+                    "window": row // max(adapter.num_imus, 1),
+                    "imu": row % max(adapter.num_imus, 1),
+                    "dims": dims,
+                    "cov": np.asarray(B).reshape(-1).tolist(),
+                }) + "\n")
 
 
 def save_online_calib_states(path, adapter):

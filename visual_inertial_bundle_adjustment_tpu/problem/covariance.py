@@ -65,22 +65,57 @@ def _unit_tangents(v, entries):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
 
 
-def solve_columns(problem, entries, lam=1e-9, pcg_iters=800, pcg_tol=1e-12):
-    """Columns of H^-1 (reduced part) for the requested tangent entries.
-
-    Returns a stacked Tangent with leading dim K = len(entries)."""
+def prepare_system(problem, lam=1e-9):
+    """Linearize ONCE and build the damped reduced system — the analog of the
+    reference's single factorization reused for every covariance column
+    (Optimizer.cpp:574-604)."""
     datas = tuple(problem.datas)
     v, masks = problem.variables, problem.masks
     cfgs = engine.prune_cfgs(tuple(problem.cfgs), masks)
     lg = engine.linearize(cfgs, datas, v, masks)
     rs = engine.build_reduced_system(lg, v, masks, jnp.asarray(lam, v.points.dtype))
-    rhs = _unit_tangents(v, entries)
+    return lg, rs
 
-    def solve_one(b):
-        x, rel, iters = engine.pcg_solve(lg, v, rs, b, pcg_iters, pcg_tol)
-        return x
 
-    return jax.vmap(solve_one)(rhs)
+def solve_columns(problem, entries, lam=1e-9, pcg_iters=800, pcg_tol=1e-12,
+                  system=None, chunk=256):
+    """Columns of H^-1 (reduced part) for the requested tangent entries.
+
+    One linearization for ALL columns; the multi-RHS solve runs as vmapped
+    PCG in chunks (memory = chunk x reduced-state). Returns a stacked
+    Tangent with leading dim K = len(entries)."""
+    v = problem.variables
+    lg, rs = system if system is not None else prepare_system(problem, lam)
+
+    @jax.jit
+    def solve_chunk(b):
+        def solve_one(bb):
+            x, rel, iters = engine.pcg_solve(lg, v, rs, bb, pcg_iters, pcg_tol)
+            return x
+
+        return jax.vmap(solve_one)(b)
+
+    outs = []
+    for i in range(0, len(entries), chunk):
+        rhs = _unit_tangents(v, entries[i:i + chunk])
+        outs.append(solve_chunk(rhs))
+    if len(outs) == 1:
+        return outs[0]
+    return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *outs)
+
+
+def _extract_cov(cols, entries):
+    K = len(entries)
+    cov = np.zeros((K, K))
+    for j in range(K):
+        for i, (gi, ri, di) in enumerate(entries):
+            a = np.asarray(getattr(cols, gi))
+            if a.ndim == 2:  # gravity: (K, 2)
+                cov[i, j] = a[j, di]
+            else:
+                cov[i, j] = a[j, ri, di]
+    # symmetrize (PCG solves are only approximately symmetric)
+    return 0.5 * (cov + cov.T)
 
 
 def joint_covariance(problem, entries, **kw):
@@ -89,52 +124,66 @@ def joint_covariance(problem, entries, **kw):
     entries: [(group, row, dim), ...]. The caller should use with_gauge_prior
     when the problem has unconstrained gauge freedom."""
     cols = solve_columns(problem, entries, **kw)
-    K = len(entries)
-    cov = np.zeros((K, K))
-    for j, (group, row, dim) in enumerate(entries):
-        arr = getattr(cols, group)
-        for i in range(K):
-            gi, ri, di = entries[i]
-            a = getattr(cols, gi)
-            if a.ndim == 2:  # gravity: (K, 2)
-                cov[i, j] = float(a[j, di])
-            else:
-                cov[i, j] = float(a[j, ri, di])
-    # symmetrize (PCG solves are only approximately symmetric)
-    return 0.5 * (cov + cov.T)
+    return _extract_cov(cols, entries)
 
 
-def rig_covariances(problem, rig_indices, **kw):
+def rig_covariances(problem, rig_indices, lam=1e-9, **kw):
     """Per-rig 12x12 joint covariance blocks (pose+vel+omega), gauge-fixed.
 
-    Reference SingleSessionProblem::computeCovariances (.cpp:66-138)."""
+    Reference SingleSessionProblem::computeCovariances (.cpp:66-138): ONE
+    linearization for the whole request; all 12*len(rig_indices) columns run
+    as chunked multi-RHS PCG against the same reduced system."""
     out = {}
     with with_gauge_prior(problem):
-        for r in rig_indices:
-            entries = [("rig", int(r), d) for d in range(12)]
-            out[int(r)] = joint_covariance(problem, entries, **kw)
+        system = prepare_system(problem, lam)
+        entries = [("rig", int(r), d) for r in rig_indices for d in range(12)]
+        cols = solve_columns(problem, entries, lam=lam, system=system, **kw)
+        cols_np = jax.tree_util.tree_map(np.asarray, cols)
+        for k, r in enumerate(rig_indices):
+            sub = entries[12 * k: 12 * (k + 1)]
+            block = np.zeros((12, 12))
+            for j, (_, rr, dd) in enumerate(sub):
+                block[:, j] = cols_np.rig[12 * k + j, rr, :]
+            out[int(r)] = 0.5 * (block + block.T)
     return out
 
 
-def calib_covariances(problem, group: str, rows, **kw):
+def calib_covariances(problem, group: str, rows, lam=1e-9, **kw):
     """Joint covariance blocks of calibration-window variables.
 
     Reference SingleSessionProblem::computeCovariances (.cpp:66-138) also
     extracts per-calibration-variable joint covariances; `group` is one of
     'cam_intr', 'cam_extr', 'imu_calib', 'imu_extr', 'det_bias'. Disabled
     tangent dims (mask 0) are skipped; the returned block covers only the
-    enabled dims, with `dims` listing them."""
+    enabled dims, with `dims` listing them. One linearization serves every
+    requested row."""
     masks = problem.masks
     marr = np.asarray(getattr(masks, group))
     out = {}
     with with_gauge_prior(problem):
+        system = prepare_system(problem, lam)
+        all_entries = []
+        row_dims = {}
         for r in rows:
             dims = [d for d in range(marr.shape[1]) if marr[int(r), d] > 0.5]
-            if not dims:
+            row_dims[int(r)] = dims
+            all_entries += [(group, int(r), d) for d in dims]
+        if not all_entries:
+            return {int(r): (np.zeros((0, 0)), []) for r in rows}
+        cols = solve_columns(problem, all_entries, lam=lam, system=system, **kw)
+        arr = np.asarray(getattr(cols, group))
+        pos = 0
+        for r in rows:
+            dims = row_dims[int(r)]
+            K = len(dims)
+            if K == 0:
                 out[int(r)] = (np.zeros((0, 0)), [])
                 continue
-            entries = [(group, int(r), d) for d in dims]
-            out[int(r)] = (joint_covariance(problem, entries, **kw), dims)
+            block = np.zeros((K, K))
+            for j, d in enumerate(dims):
+                block[:, j] = arr[pos + j, int(r), dims]
+            out[int(r)] = (0.5 * (block + block.T), dims)
+            pos += K
     return out
 
 

@@ -126,6 +126,13 @@ class Problem:
         from . import factors as _fct
         from . import rcs as _rcs
 
+        if getattr(self, "mesh", None) is not None:
+            # tile-sharded blocked engine over the device mesh
+            from ..parallel.sharding import build_sharded_kernels
+
+            self._jits = build_sharded_kernels(self)
+            return self._jits
+
         # blocked MXU layout for large visual batches (rcs.finalize_blocks);
         # skipped under mesh sharding (the factor axis shards instead)
         if (getattr(self, "use_blocked_engine", True)
@@ -248,6 +255,8 @@ def optimize(problem: Problem, settings: LMSettings) -> Summary:
     (k_lin, k_solve, k_resolve, k_cost, k_grad, k_retract,
      k_assemble, k_step) = problem._build()
     log = settings.log or (lambda s: None)
+    if getattr(problem, "mesh", None) is not None and settings.try_sub_step:
+        settings = dataclasses.replace(settings, try_sub_step=False)
     datas = tuple(problem.datas)
     masks = problem.masks
     v = problem.variables

@@ -141,10 +141,15 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096,
         order = np.argsort(rig, kind="stable")
         slot, base, nt = _tile_plan(rig[order], rb, ts)
         npad = nt * ts
+        n_obs = len(rig)
         new = {}
         for k, a in data.items():
             if k.startswith("_ell"):
                 continue  # rebuilt later from the new order
+            if isinstance(a, tuple) or not hasattr(a, "shape") \
+                    or getattr(a, "ndim", 0) < 1 or a.shape[0] != n_obs:
+                new[k] = a  # non-per-factor payload (e.g. rs_tables)
+                continue
             a = np.asarray(a)
             out = np.zeros((npad,) + a.shape[1:], a.dtype)
             out[slot] = a[order]
@@ -240,7 +245,10 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096,
         new["_pt_rows"] = (pbase[:, None] + np.arange(prb)[None, :]).astype(
             np.int32).reshape(-1)
         new["_pt_base"] = pbase.astype(np.int32)
-        problem.datas[bi] = {k: jnp.asarray(v) for k, v in new.items()}
+        problem.datas[bi] = {
+            k: (v if isinstance(v, tuple) else jnp.asarray(v))
+            for k, v in new.items()
+        }
         problem.cfgs[bi] = dataclasses.replace(
             cfg, block_info=BlockInfo(rb, nt, ts, prb, pnt, ts, prb2, nhg, wb)
         )
@@ -368,8 +376,6 @@ def _vis_batches(cfgs, datas, lg):
                 idx.append(ix)
                 jac.append(J)
                 ells.append(ell)
-        perm = data["_pt_perm"]
-        J_pt_po = permute_cols(J_pt, perm) * data["_pt_w"][None, None, :]
         # calibration-window column folding: when the batch's non-rig groups
         # are exactly cam_extr/cam_intr (sharing the window-row index) and a
         # window plan exists, concatenate their J blocks into one cal group
@@ -384,15 +390,33 @@ def _vis_batches(cfgs, datas, lg):
                     if g != fct.RIG)
                 J_cal = jnp.concatenate(
                     [J for g, J in zip(groups, jac) if g != fct.RIG], axis=1)
+        # single-pass batches never touch the point-sorted grid: skip the
+        # global permutes (J_pt_po etc.) entirely — saves the per-step
+        # permute work single-chip and keeps all per-factor state local
+        # under mesh sharding (no cross-shard permutations)
+        single = (info.prb2 > 0 and info.nhg > 0
+                  and "_rg_pt_local" in data
+                  and (tuple(groups) == (fct.RIG,)
+                       or (cal_groups
+                           and len(groups) == 1 + len(cal_groups)
+                           and groups[0] == fct.RIG)))
+        if single or "_pt_perm" not in data:
+            J_pt_po = w_po = perm = pt_local = pt_inv = pt_rows = pt_base = None
+        else:
+            perm = data["_pt_perm"]
+            J_pt_po = permute_cols(J_pt, perm) * data["_pt_w"][None, None, :]
+            w_po = wv[perm] * data["_pt_w"]
+            pt_local, pt_inv = data["_pt_local"], data["_pt_inv"]
+            pt_rows, pt_base = data["_pt_rows"], data["_pt_base"]
         out.append((VisBatch(
             info=info, w=wv, rb_local=data["_rb_local"], rb_rows=data["_rb_rows"],
-            pt_rows=data["_pt_rows"], rb_base=data["_rb_base"],
-            pt_base=data["_pt_base"], rg_pt_local=data.get("_rg_pt_local"),
+            pt_rows=pt_rows, rb_base=data["_rb_base"],
+            pt_base=pt_base, rg_pt_local=data.get("_rg_pt_local"),
             rg_hib=data.get("_rg_hib"), groups=tuple(groups), rig_k=rig_k,
             cal_groups=cal_groups,
             idx=tuple(idx), jac=tuple(jac), ells=tuple(ells), J_pt=J_pt,
-            J_pt_po=J_pt_po, w_po=wv[perm] * data["_pt_w"],
-            pt_local=data["_pt_local"], pt_perm=perm, pt_inv=data["_pt_inv"],
+            J_pt_po=J_pt_po, w_po=w_po,
+            pt_local=pt_local, pt_perm=perm, pt_inv=pt_inv,
             pt_idx=pt_idx, J_cal=J_cal, cal_local=data.get("_cb_local"),
             cal_base=data.get("_cb_base"),
         ), lin))
@@ -565,7 +589,8 @@ def _precond_blocks_static(vis, rest, v, masks):
     return blocks, tuple(A_rp)
 
 
-def _precond_finish(asm: "RcsAsm", v, masks, lam, H_ll_inv, precond="gauss_seidel"):
+def _precond_finish(asm: "RcsAsm", v, masks, lam, H_ll_inv,
+                    precond="gauss_seidel", axis=None):
     """Per-lambda: subtract the Schur self-correction from the rig blocks,
     damp, mask, invert.
 
@@ -578,6 +603,7 @@ def _precond_finish(asm: "RcsAsm", v, masks, lam, H_ll_inv, precond="gauss_seide
         return None
     schur_corr = precond in ("gauss_seidel", "lower_prec")
     blocks = dict(asm.blocks0)
+    rig_local = jnp.zeros_like(blocks[fct.RIG])  # per-shard contributions
     for b, A in zip(asm.vis, asm.A_rp):
         if _single_pass(b):
             J = b.jac[0]
@@ -586,7 +612,7 @@ def _precond_finish(asm: "RcsAsm", v, masks, lam, H_ll_inv, precond="gauss_seide
             # subtracted term exactly). For cal-fast batches the window
             # blocks were accumulated lambda-free in seg_assemble_cal.
             Hinv_used = H_ll_inv if schur_corr else jnp.zeros_like(H_ll_inv)
-            blocks[fct.RIG] = blocks[fct.RIG] + _padkk(seg.seg_precond_rig(
+            rig_local = rig_local + _padkk(seg.seg_precond_rig(
                 J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib,
                 Hinv_used, b.rb_base, b.info.nt, b.info.ts, b.info.rb,
                 b.info.prb2 // 128, b.info.nhg, blocks[fct.RIG].shape[0]),
@@ -601,8 +627,9 @@ def _precond_finish(asm: "RcsAsm", v, masks, lam, H_ll_inv, precond="gauss_seide
             corr.reshape(k * k, -1).astype(jnp.bfloat16),
             b.rb_local, b.rb_base, b.info.nt, b.info.ts, b.info.rb,
             blocks[fct.RIG].shape[0])
-        blocks[fct.RIG] = blocks[fct.RIG] - _padkk(
+        rig_local = rig_local - _padkk(
             red.reshape(-1, k, k), k).astype(blocks[fct.RIG].dtype)
+    blocks[fct.RIG] = blocks[fct.RIG] + _maybe_psum(rig_local, axis)
     inv = {}
     for g, B in blocks.items():
         dim = B.shape[-1]
@@ -623,8 +650,11 @@ def _precond_finish(asm: "RcsAsm", v, masks, lam, H_ll_inv, precond="gauss_seide
     )
 
 
-def assemble(cfgs, datas, lg, v, masks: Masks) -> RcsAsm:
-    """Everything lambda-independent for this linearization."""
+def assemble(cfgs, datas, lg, v, masks: Masks, axis=None) -> RcsAsm:
+    """Everything lambda-independent for this linearization. Under mesh
+    sharding (`axis` set) the factor-sum tables (gradients, diagonals,
+    landmark blocks, block-Jacobi blocks) are psum-completed; per-factor
+    state (vis batches, rest lins, A_rp) stays shard-local."""
     pairs = _vis_batches(cfgs, datas, lg)
     vis = tuple(b for b, _ in pairs)
     _, rest, rest_pt = _split(cfgs, lg)
@@ -665,17 +695,20 @@ def assemble(cfgs, datas, lg, v, masks: Masks) -> RcsAsm:
         diag_r = diag_r._replace(rig=diag_r.rig + _padk(dg_b, b.rig_k))
         g_l = g_l + gl_b
         H_ll0 = H_ll0 + H_b
+    H_ll0, diag_r, g_r, g_l, blocks0 = _maybe_psum(
+        (H_ll0, diag_r, g_r, g_l, blocks0), axis)
     return RcsAsm(vis, rest, rest_pt, H_ll0, diag_r, g_r, g_l, A_rp, blocks0)
 
 
-def with_damping(asm: RcsAsm, v, masks, lam, precond="gauss_seidel") -> RcsSystem:
+def with_damping(asm: RcsAsm, v, masks, lam, precond="gauss_seidel",
+                 axis=None) -> RcsSystem:
     """Per-lambda completion: damped landmark inverses + preconditioner."""
     lam = jnp.asarray(lam, v.points.dtype)
     diag = jnp.diagonal(asm.H_ll0, axis1=-2, axis2=-1)
     eye = jnp.eye(3, dtype=asm.H_ll0.dtype)
     H_ll = asm.H_ll0 + eye * (lam * diag + lam)[..., None, :] * eye
     H_ll_inv = engine._inv3(H_ll)
-    precond_inv = _precond_finish(asm, v, masks, lam, H_ll_inv, precond)
+    precond_inv = _precond_finish(asm, v, masks, lam, H_ll_inv, precond, axis)
     return RcsSystem(asm.vis, asm.rest, asm.rest_pt, H_ll, H_ll_inv,
                      asm.diag_r, lam, precond_inv)
 
@@ -732,7 +765,7 @@ def _pt_reduce(b: VisBatch, wu, n_rows):
                                     b.info.pnt, b.info.pts, b.info.prb, n_rows)
 
 
-def w_transpose_x(rs: RcsSystem, v, x: Tangent):
+def w_transpose_x(rs: RcsSystem, v, x: Tangent, axis=None):
     """W^T x (L, 3): per batch, u in rig order -> permute (d,N) -> point grid."""
     t = jnp.zeros_like(v.points)
     for b in rs.vis:
@@ -760,7 +793,7 @@ def w_transpose_x(rs: RcsSystem, v, x: Tangent):
     if rs.rest_pt.lins:  # point-coupled non-blocked batches: H_lr x
         _, hp = engine._hmatvec(rs.rest_pt, v, x, jnp.zeros_like(v.points))
         t = t + hp
-    return t
+    return _maybe_psum(t, axis)
 
 
 def _pt_expand(b: VisBatch, yl):
@@ -770,7 +803,7 @@ def _pt_expand(b: VisBatch, yl):
     return permute_cols(u2_po, b.pt_inv) * b.w[None, :]
 
 
-def w_y(rs: RcsSystem, v, yl):
+def w_y(rs: RcsSystem, v, yl, axis=None):
     """W y_l (Tangent): per batch, u2 in point order -> permute back."""
     y = zero_tangent(v)._asdict()
     for b in rs.vis:
@@ -797,7 +830,17 @@ def w_y(rs: RcsSystem, v, yl):
     if rs.rest_pt.lins:  # point-coupled non-blocked batches: H_rl y_l
         hx, _ = engine._hmatvec(rs.rest_pt, v, zero_tangent(v), yl)
         out = jax.tree_util.tree_map(jnp.add, out, hx)
-    return out
+    return _maybe_psum(out, axis)
+
+
+def _maybe_psum(x, axis):
+    """psum over the factor-shard mesh axis (None = single-shard, no-op).
+    Under shard_map every factor->table reduction produces a PARTIAL table
+    (local factors only); one psum completes it — the deterministic
+    replacement for the reference's cross-thread atomic adds."""
+    if axis is None:
+        return x
+    return jax.tree_util.tree_map(lambda a: jax.lax.psum(a, axis), x)
 
 
 def _rig_only_fast(b: VisBatch):
@@ -838,7 +881,7 @@ def _cal_scatter_back(b: VisBatch, y: dict, y_c):
     return y
 
 
-def matvec(rs: RcsSystem, v, x: Tangent) -> Tangent:
+def matvec(rs: RcsSystem, v, x: Tangent, axis=None) -> Tangent:
     """S x = (H_rr + damping) x - W H_ll^-1 W^T x.
 
     Single pass per visual batch: wu = w * (J_r x) is computed ONCE and feeds
@@ -886,11 +929,13 @@ def matvec(rs: RcsSystem, v, x: Tangent) -> Tangent:
         v, x, jnp.zeros_like(v.points))
     if rs.rest_pt.lins:  # point-coupled non-blocked batches: W^T x side
         t = t + hp_rest
-    hx = jax.tree_util.tree_map(jnp.add, Tangent(**y), hx_rest)
+    hx = _maybe_psum(jax.tree_util.tree_map(jnp.add, Tangent(**y), hx_rest),
+                     axis)
+    t = _maybe_psum(t, axis)
     damped = jax.tree_util.tree_map(
         lambda h, d, xv: h + rs.lam * (d * xv) + rs.lam * xv, hx, rs.diag_r, x)
     z = engine._chol_solve(rs.H_ll_inv, t)
-    corr = w_y(rs, v, z)
+    corr = w_y(rs, v, z, axis)
     return jax.tree_util.tree_map(jnp.subtract, damped, corr)
 
 
@@ -965,14 +1010,14 @@ def pack_blocks(p: Tangent, counts, dims, K):
     return jnp.concatenate(parts, axis=0)
 
 
-def pcg(rs: RcsSystem, v, b: Tangent, max_iters: int, rel_tol):
+def pcg(rs: RcsSystem, v, b: Tangent, max_iters: int, rel_tol, axis=None):
     counts, dims, K = _pack_info(b)
     bp = pack_t(b, counts, dims, K)
     Pm = (pack_blocks(rs.precond_inv, counts, dims, K)
           if rs.precond_inv is not None else None)
 
     def mv(xp):
-        y = matvec(rs, v, unpack_t(xp, counts, dims, K))
+        y = matvec(rs, v, unpack_t(xp, counts, dims, K), axis)
         return pack_t(y, counts, dims, K)
 
     def prec(rp):
@@ -1010,16 +1055,17 @@ def pcg(rs: RcsSystem, v, b: Tangent, max_iters: int, rel_tol):
 
 
 def solve_assembled(asm: RcsAsm, v, masks, lam, max_iters=250, rel_tol=1e-10,
-                    precond="gauss_seidel"):
+                    precond="gauss_seidel", axis=None):
     """Per-lambda solve on a prebuilt assembly; `precond` picks the
     preconditioner family exactly as on the generic path
     (engine.build_reduced_system)."""
-    rs = with_damping(asm, v, masks, lam, precond)
+    rs = with_damping(asm, v, masks, lam, precond, axis)
     g_r, g_l = asm.g_r, asm.g_l
     z = engine._chol_solve(rs.H_ll_inv, g_l)
-    b = jax.tree_util.tree_map(jnp.subtract, g_r, w_y(rs, v, z))
-    x_r, rel, iters = pcg(rs, v, b, max_iters, rel_tol)
-    x_l = engine._chol_solve(rs.H_ll_inv, g_l - w_transpose_x(rs, v, x_r))
+    b = jax.tree_util.tree_map(jnp.subtract, g_r, w_y(rs, v, z, axis))
+    x_r, rel, iters = pcg(rs, v, b, max_iters, rel_tol, axis)
+    x_l = engine._chol_solve(rs.H_ll_inv,
+                             g_l - w_transpose_x(rs, v, x_r, axis))
     model_red = 0.5 * (t_dot(x_r, g_r) + jnp.vdot(x_l, g_l))
     return x_r, x_l, model_red, rel, iters, rs, (g_r, g_l)
 
