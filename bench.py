@@ -14,10 +14,15 @@ per-iteration work, Optimizer.cpp:768-1106, at its default PCG budget):
      ALL calibration groups random-walking over 5 s windows with factory
      priors and omega priors.
 
-vs_baseline: speedup vs THE SAME algorithm run on the host CPU in a
-subprocess (the stand-in for the reference's single-socket CPU baseline until
-ark_vi_ba can be run on identical inputs; reference publishes no numbers —
-see BASELINE.md).
+Landmark tracks carry a finite lifetime (TRACK_LIFETIME) as on real
+recordings — whole-session tracks would make the reduced camera system
+unrealistically dense and distort both the TPU timing and the baselines.
+
+vs_baseline: speedup vs the REFERENCE-FORMULATION direct solver on the host
+CPU (assembled sparse Hessian + landmark Schur + SuperLU,
+tools_dev/cpu_reference_baseline.py — the algorithm class of the reference's
+direct mode, since ark_vi_ba itself cannot be built here). The same-algorithm
+CPU number is also reported. See BASELINE.md for how to read the ratios.
 """
 
 import json
@@ -29,11 +34,13 @@ import time
 
 DURATION = 120.0
 KEYFRAME_HZ = 10.0
-NUM_POINTS = 1500
+NUM_POINTS = 20000
+TRACK_LIFETIME = 10.0  # real feature tracks live seconds; whole-session
+# tracks would make the reduced camera system unrealistically dense
 TIMED_ITERS = 10
 CPU_TIMED_ITERS = 2
 FULL_DURATION = 600.0
-FULL_POINTS = 800
+FULL_POINTS = 60000
 FULL_TIMED_ITERS = 5
 
 
@@ -47,6 +54,7 @@ def build_problem():
     s = SyntheticSession(
         duration=DURATION, keyframe_hz=KEYFRAME_HZ, gyro_hz=800.0, accel_hz=800.0,
         num_points=NUM_POINTS, seed=17, pixel_noise=0.3,
+        track_lifetime_sec=TRACK_LIFETIME,
     )
     return build_synthetic_problem(
         s,
@@ -71,6 +79,7 @@ def build_full_sensor_problem(tmpdir):
     s = SyntheticSession(
         duration=FULL_DURATION, keyframe_hz=KEYFRAME_HZ, gyro_hz=800.0,
         accel_hz=800.0, num_points=FULL_POINTS, seed=23, pixel_noise=0.3,
+        track_lifetime_sec=TRACK_LIFETIME,
     )
     write_session_dir(s, tmpdir, num_imus=2, readout_time_sec=0.03, seed=23)
     sd = sio.load_session(tmpdir)
@@ -119,14 +128,7 @@ def run_device():
     return ips
 
 
-def run_cpu_subprocess():
-    code = (
-        "import jax\n"
-        "jax.config.update('jax_platforms', 'cpu')\n"
-        "import bench\n"
-        "ips, _ = bench.timed_iterations(bench.build_problem(), bench.CPU_TIMED_ITERS)\n"
-        "print('CPU_IPS', ips)\n"
-    )
+def _cpu_subprocess(code, tag):
     env = dict(os.environ)
     try:
         out = subprocess.run(
@@ -134,12 +136,43 @@ def run_cpu_subprocess():
             timeout=3600, env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         for line in out.stdout.splitlines():
-            if line.startswith("CPU_IPS"):
+            if line.startswith(tag):
                 return float(line.split()[1])
         sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
     except Exception as e:  # noqa: BLE001
         sys.stderr.write(f"cpu baseline failed: {e}\n")
     return None
+
+
+def run_cpu_subprocess():
+    """Same algorithm (Schur + PCG, JAX) on the host CPU."""
+    return _cpu_subprocess(
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import bench\n"
+        "ips, _ = bench.timed_iterations(bench.build_problem(), bench.CPU_TIMED_ITERS)\n"
+        "print('CPU_IPS', ips)\n",
+        "CPU_IPS",
+    )
+
+
+def run_cpu_reference():
+    """REFERENCE-formulation iteration on the host CPU: assembled block-
+    sparse Hessian, landmark Schur elimination, sparse DIRECT factor+solve
+    (scipy SuperLU) — the algorithm class of the reference's BaSpaCho direct
+    mode (Optimizer.cpp:166-331), since the reference binary itself cannot
+    be built here (empty submodules). See tools_dev/cpu_reference_baseline.py
+    and BASELINE.md for how to interpret the ratio."""
+    return _cpu_subprocess(
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import bench\n"
+        "from tools_dev import cpu_reference_baseline as ref\n"
+        "ips, parts = ref.timed_reference_iterations(bench.build_problem(), n_iters=2)\n"
+        "print('REF_IPS', ips)\n"
+        "print('parts', parts)\n",
+        "REF_IPS",
+    )
 
 
 def run_full_sensor():
@@ -156,8 +189,9 @@ def run_full_sensor():
 def main():
     ips = run_device()
     full_ips = run_full_sensor()
+    ref_ips = run_cpu_reference()
     cpu_ips = run_cpu_subprocess()
-    vs = ips / cpu_ips if cpu_ips else None
+    vs = ips / ref_ips if ref_ips else (ips / cpu_ips if cpu_ips else None)
     print(
         json.dumps(
             {
@@ -169,7 +203,12 @@ def main():
                     "full_sensor_10min_iters_per_sec": (
                         round(full_ips, 4) if full_ips else None
                     ),
-                    "cpu_iters_per_sec": round(cpu_ips, 4) if cpu_ips else None,
+                    "cpu_reference_direct_iters_per_sec": (
+                        round(ref_ips, 4) if ref_ips else None
+                    ),
+                    "cpu_same_algorithm_iters_per_sec": (
+                        round(cpu_ips, 4) if cpu_ips else None
+                    ),
                 },
             }
         )

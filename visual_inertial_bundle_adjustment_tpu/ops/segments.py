@@ -551,8 +551,8 @@ def _schur_down_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
     ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, tsc)
     xt = x_ref[pl.ds(base, rb), :]  # (rb, k)
     xgT = _sel_dot(xt, ohr, ((0,), (0,)))  # (k, tsc)
-    Jr = jr_ref[:]  # (d, k, tsc)
-    wu = jnp.sum(Jr * xgT.astype(Jr.dtype)[None, :, :], axis=1) \
+    Jr = jr_ref[:].astype(xgT.dtype)  # (d, k, tsc); bf16 storage upcast once
+    wu = jnp.sum(Jr * xgT[None, :, :], axis=1) \
         * w_ref[0, 0][None, :]
     contrib_r = jnp.sum(Jr * wu[:, None, :], axis=0)  # (k, tsc)
     part = _sel_dot(ohr, contrib_r, ((1,), (1,)))  # (rb, k)
@@ -566,7 +566,8 @@ def _schur_down_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
     hi, lo = _hi_lo(ploc_ref[0, 0])
     ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)  # (128, tsc)
     ohhi = _oh_t(hi, nhw).astype(wu.dtype)  # (nhw, tsc)
-    contrib_p = jnp.sum(jp_ref[:] * wu[:, None, :], axis=0)  # (3, tsc)
+    contrib_p = jnp.sum(jp_ref[:].astype(wu.dtype) * wu[:, None, :],
+                        axis=0)  # (3, tsc)
     MT = jnp.concatenate(
         [ohhi * contrib_p[j][None, :] for j in range(3)], axis=0)
     P = _sel_dot(MT, ohlo, ((1,), (1,)))  # (3*nhw, 128)
@@ -584,7 +585,9 @@ def seg_schur_down(J_r, J_p, w, rig_local, pt_local, hib, x_table, r_bases,
     with the point table accumulated VMEM-resident (no per-tile partials)."""
     d, k, _ = J_r.shape
     n_rows = x_table.shape[0]
-    if not use_pallas(J_r):
+    if not use_pallas(w):
+        J_r = J_r.astype(w.dtype)
+        J_p = J_p.astype(w.dtype)
         xg = seg_gather_from_tiles(
             gather_tiles(x_table, _rows_from_bases(r_bases, nt, rb), nt, rb),
             rig_local, nt, ts, rb)  # (N, k)
@@ -627,8 +630,8 @@ def seg_schur_down(J_r, J_p, w, rig_local, pt_local, hib, x_table, r_bases,
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((npad, k), J_r.dtype),
-            jax.ShapeDtypeStruct((3 * nhg, 128), J_r.dtype),
+            jax.ShapeDtypeStruct((npad, k), w.dtype),
+            jax.ShapeDtypeStruct((3 * nhg, 128), w.dtype),
         ),
     )(
         r_bases.astype(jnp.int32),
@@ -663,7 +666,7 @@ def _schur_up_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
     Zw = jnp.concatenate(
         [z_ref[pl.ds(j * nhg + hb, nhw), :] for j in range(3)], axis=0)
     Gt = _sel_dot(Zw, ohlo, ((1,), (0,)))  # (3*nhw, tsc)
-    Jp = jp_ref[:]  # (d, 3, tsc)
+    Jp = jp_ref[:].astype(w_ref.dtype)  # (d, 3, tsc)
     w = w_ref[0, 0]
     u2 = jnp.zeros((Jp.shape[0], lo.shape[0]), Jp.dtype)  # (d, tsc)
     for j in range(3):
@@ -671,7 +674,8 @@ def _schur_up_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
             jnp.where(ohhi, Gt[j * nhw:(j + 1) * nhw, :], 0.0), axis=0)
         u2 = u2 + Jp[:, j, :] * zg_j.astype(Jp.dtype)[None, :]
     wu2 = u2 * w[None, :]
-    contrib = jnp.sum(jr_ref[:] * wu2[:, None, :], axis=0)  # (k, tsc)
+    contrib = jnp.sum(jr_ref[:].astype(wu2.dtype) * wu2[:, None, :],
+                      axis=0)  # (k, tsc)
     ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, tsc)
     part = _sel_dot(ohr, contrib, ((1,), (1,)))  # (rb, k)
     y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
@@ -683,7 +687,9 @@ def seg_schur_up(J_r, J_p, w, rig_local, pt_local, hib, z, r_bases,
     """y (n_rows, k) = segment-sum_rig of J_r^T w J_p z over the rig grid,
     z (n_pts, 3) held VMEM-resident in kernel layout (= W y_l)."""
     d, k, _ = J_r.shape
-    if not use_pallas(J_r):
+    if not use_pallas(w):
+        J_r = J_r.astype(w.dtype)
+        J_p = J_p.astype(w.dtype)
         rows = _to_pt_rows(pt_local, hib, nt, ts)
         zp = jnp.pad(z, ((0, nhg * 128 - z.shape[0]), (0, 0)))
         zg = zp[rows]  # (N, 3)
@@ -718,7 +724,7 @@ def seg_schur_up(J_r, J_p, w, rig_local, pt_local, hib, z, r_bases,
             out_specs=pl.BlockSpec((npad, k), lambda i, c, b, h: (0, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((npad, k), J_r.dtype),
+        out_shape=jax.ShapeDtypeStruct((npad, k), w.dtype),
     )(
         r_bases.astype(jnp.int32),
         hib.astype(jnp.int32),
@@ -898,10 +904,10 @@ def _schur_down_cal_kernel(rb, wb, nhw, nhg, rbases_ref, cbases_ref, hib_ref,
     ohc = _oh_t(cloc_ref[0, 0], wb).astype(jnp.bfloat16)  # (wb, tsc)
     xgT_r = _sel_dot(xr_ref[pl.ds(base, rb), :], ohr, ((0,), (0,)))  # (k, tsc)
     xgT_c = _sel_dot(xc_ref[pl.ds(cb, wb), :], ohc, ((0,), (0,)))  # (kc, tsc)
-    Jr = jr_ref[:]  # (d, k, tsc)
-    Jc = jc_ref[:]  # (d, kc, tsc)
-    u = (jnp.sum(Jr * xgT_r.astype(Jr.dtype)[None, :, :], axis=1)
-         + jnp.sum(Jc * xgT_c.astype(Jc.dtype)[None, :, :], axis=1))
+    Jr = jr_ref[:].astype(xgT_r.dtype)  # (d, k, tsc); bf16 storage upcast once
+    Jc = jc_ref[:].astype(xgT_c.dtype)  # (d, kc, tsc)
+    u = (jnp.sum(Jr * xgT_r[None, :, :], axis=1)
+         + jnp.sum(Jc * xgT_c[None, :, :], axis=1))
     wu = u * w_ref[0, 0][None, :]
     contrib_r = jnp.sum(Jr * wu[:, None, :], axis=0)  # (k, tsc)
     part_r = _sel_dot(ohr, contrib_r, ((1,), (1,)))
@@ -914,7 +920,8 @@ def _schur_down_cal_kernel(rb, wb, nhw, nhg, rbases_ref, cbases_ref, hib_ref,
     hi, lo = _hi_lo(ploc_ref[0, 0])
     ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)  # (128, tsc)
     ohhi = _oh_t(hi, nhw).astype(wu.dtype)  # (nhw, tsc)
-    contrib_p = jnp.sum(jp_ref[:] * wu[:, None, :], axis=0)  # (3, tsc)
+    contrib_p = jnp.sum(jp_ref[:].astype(wu.dtype) * wu[:, None, :],
+                        axis=0)  # (3, tsc)
     MT = jnp.concatenate(
         [ohhi * contrib_p[j][None, :] for j in range(3)], axis=0)
     P = _sel_dot(MT, ohlo, ((1,), (1,)))  # (3*nhw, 128)
@@ -936,7 +943,9 @@ def seg_schur_down_cal(J_r, J_c, J_p, w, rig_local, cal_local, pt_local, hib,
     d, k, _ = J_r.shape
     kc = J_c.shape[1]
     n_r, n_c = x_r.shape[0], x_c.shape[0]
-    if not use_pallas(J_r):
+    if not use_pallas(w):
+        J_r, J_c, J_p = (J_r.astype(w.dtype), J_c.astype(w.dtype),
+                         J_p.astype(w.dtype))
         xg_r = seg_gather_from_tiles(
             gather_tiles(x_r, _rows_from_bases(r_bases, nt, rb), nt, rb),
             rig_local, nt, ts, rb)
@@ -992,9 +1001,9 @@ def seg_schur_down_cal(J_r, J_c, J_p, w, rig_local, cal_local, pt_local, hib,
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((npad_r, k), J_r.dtype),
-            jax.ShapeDtypeStruct((npad_c, kc), J_r.dtype),
-            jax.ShapeDtypeStruct((3 * nhg, 128), J_r.dtype),
+            jax.ShapeDtypeStruct((npad_r, k), w.dtype),
+            jax.ShapeDtypeStruct((npad_c, kc), w.dtype),
+            jax.ShapeDtypeStruct((3 * nhg, 128), w.dtype),
         ),
     )(
         r_bases.astype(jnp.int32),
@@ -1032,9 +1041,9 @@ def _schur_up_cal_kernel(rb, wb, nhw, nhg, rbases_ref, cbases_ref, hib_ref,
     Zw = jnp.concatenate(
         [z_ref[pl.ds(j * nhg + hb, nhw), :] for j in range(3)], axis=0)
     Gt = _sel_dot(Zw, ohlo, ((1,), (0,)))  # (3*nhw, tsc)
-    Jr = jr_ref[:]
-    Jc = jc_ref[:]
-    Jp = jp_ref[:]
+    Jr = jr_ref[:].astype(w_ref.dtype)
+    Jc = jc_ref[:].astype(w_ref.dtype)
+    Jp = jp_ref[:].astype(w_ref.dtype)
     w = w_ref[0, 0]
     u2 = jnp.zeros((Jp.shape[0], lo.shape[0]), Jp.dtype)
     for j in range(3):
@@ -1061,7 +1070,9 @@ def seg_schur_up_cal(J_r, J_c, J_p, w, rig_local, cal_local, pt_local, hib,
     (z (n_pts, 3) VMEM-resident): the W y_l coupling of rig AND cal columns."""
     d, k, _ = J_r.shape
     kc = J_c.shape[1]
-    if not use_pallas(J_r):
+    if not use_pallas(w):
+        J_r, J_c, J_p = (J_r.astype(w.dtype), J_c.astype(w.dtype),
+                         J_p.astype(w.dtype))
         rows = _to_pt_rows(pt_local, hib, nt, ts)
         zp = jnp.pad(z, ((0, nhg * 128 - z.shape[0]), (0, 0)))
         u2 = jnp.einsum("dkn,nk->dn", J_p, zp[rows]) * w[None, :]
@@ -1106,8 +1117,8 @@ def seg_schur_up_cal(J_r, J_c, J_p, w, rig_local, cal_local, pt_local, hib,
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((npad_r, k), J_r.dtype),
-            jax.ShapeDtypeStruct((npad_c, kc), J_r.dtype),
+            jax.ShapeDtypeStruct((npad_r, k), w.dtype),
+            jax.ShapeDtypeStruct((npad_c, kc), w.dtype),
         ),
     )(
         r_bases.astype(jnp.int32),

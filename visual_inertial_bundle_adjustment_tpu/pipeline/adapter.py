@@ -423,26 +423,26 @@ class SessionAdapter:
         cq, ct = _se3_mul(eq, et, pq, pt_)  # T_cam_world
         intr = cam_intr[wrow]
 
-        # pad per track
+        # vectorized per-track slot assignment (obs i gets its rank within
+        # its track, capped at T) — a python loop here is minutes at the
+        # multi-million-observation scale of long sessions
+        n_obs = len(obs_point)
+        order = np.argsort(obs_point, kind="stable")
+        counts = np.bincount(obs_point, minlength=L)
+        track_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rank_sorted = np.arange(n_obs) - track_start[obs_point[order]]
+        obs_slot = np.empty(n_obs, np.int64)
+        obs_slot[order] = rank_sorted
+        obs_slot = np.where(obs_slot < T, obs_slot, -1)
+        sel_fill = obs_slot >= 0
+
         def padded(x, fill=0.0):
             out = np.full((L, T) + x.shape[1:], fill, x.dtype)
-            slot = np.zeros(L, np.int64)
-            for i in range(len(obs_point)):
-                p = obs_point[i]
-                if slot[p] < T:
-                    out[p, slot[p]] = x[i]
-                    slot[p] += 1
+            out[obs_point[sel_fill], obs_slot[sel_fill]] = x[sel_fill]
             return out
 
         valid = np.zeros((L, T), bool)
-        slot = np.zeros(L, np.int64)
-        obs_slot = np.full(len(obs_point), -1, np.int64)
-        for i in range(len(obs_point)):
-            p = obs_point[i]
-            if slot[p] < T:
-                valid[p, slot[p]] = True
-                obs_slot[i] = slot[p]
-                slot[p] += 1
+        valid[obs_point[sel_fill], obs_slot[sel_fill]] = True
 
         pts, ok, inl = tri.triangulate_tracks(
             jnp.asarray(uniq, jnp.int32),

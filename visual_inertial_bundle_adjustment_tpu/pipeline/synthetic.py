@@ -119,7 +119,14 @@ class SyntheticSession:
         gravity_dir=None,
         camera_params=None,
         image_size=(640, 480),
+        track_lifetime_sec=None,
     ):
+        """`track_lifetime_sec`: if set, each landmark is only OBSERVED within
+        a window of that length (birth times spread over the session in point-
+        id order, like a real tracker creating ids in time order) and is
+        placed near the trajectory at its birth time — real feature tracks
+        live seconds, and whole-session tracks make the reduced camera system
+        unrealistically dense."""
         rng = np.random.default_rng(seed)
         self.rng = rng
         self.duration = duration
@@ -170,9 +177,21 @@ class SyntheticSession:
         # raw IMU streams over [-0.3, duration + 0.3]
         self._gen_imu(gyro_hz, accel_hz, imu_noise)
 
-        # landmarks in a shell around the trajectory
-        center = self.gt_pos_w.mean(0)
-        self.points_w = center + rng.normal(size=(num_points, 3)) * np.array([6.0, 6.0, 4.0])
+        # landmarks: whole-session shell around the trajectory mean, or (with
+        # a track lifetime) anchored near the trajectory at each point's
+        # birth time so the tracker sees fresh features along the whole path
+        self.track_lifetime_sec = track_lifetime_sec
+        if track_lifetime_sec is None:
+            center = self.gt_pos_w.mean(0)
+            self.points_w = center + rng.normal(size=(num_points, 3)) * np.array(
+                [6.0, 6.0, 4.0])
+            self.point_birth = None
+        else:
+            birth = np.sort(rng.uniform(-0.5, duration - 0.5, num_points))
+            anchors = self.traj.pos(np.clip(birth, 0.0, duration))
+            self.points_w = anchors + rng.normal(size=(num_points, 3)) * np.array(
+                [4.0, 4.0, 3.0])
+            self.point_birth = birth
 
         # cameras: canonical SLAM-like mounting (identity-ish extrinsics)
         if camera_params is None:
@@ -238,8 +257,13 @@ class SyntheticSession:
         self.gyro_t, self.gyro_v = g_t, w_meas
         self.accel_t, self.accel_v = a_t, f_meas
 
-    def observations(self, min_track_len=3):
+    def observations(self, min_track_len=3, rig_chunk=512):
         """Project landmarks into every (rig, camera); returns obs arrays.
+
+        With a track lifetime, a point is only observed while the rig time is
+        within [birth, birth + lifetime] and only candidate points (birth
+        window overlapping the rig chunk) are projected — memory stays
+        O(rig_chunk x candidates) at 100k-landmark scale.
 
         Cached: the same session always yields identical (noisy) observations.
         Returns dict with point_idx, rig_idx, cam_idx, uv (noisy), all np."""
@@ -251,6 +275,7 @@ class SyntheticSession:
 
         pts, rigs, cams, uvs = [], [], [], []
         W, H = self.image_size
+        R = self.num_rigs
         for ci in range(self.num_cameras):
             qcb, tcb = self.cam_extr[ci]
             # compose T_cam_world = T_cam_body * T_body_world
@@ -261,33 +286,51 @@ class SyntheticSession:
                 jnp.asarray(tcb)[None]
                 + lie.quat_rotate(jnp.asarray(qcb)[None], jnp.asarray(self.gt_pose_t))
             )
-            # project all (rig, point) pairs
-            p_cam = (
-                np.asarray(
-                    lie.quat_rotate(
-                        jnp.asarray(q_cw)[:, None], jnp.asarray(self.points_w)[None]
+            for r0 in range(0, R, rig_chunk):
+                r1 = min(r0 + rig_chunk, R)
+                if self.point_birth is not None:
+                    lo = int(np.searchsorted(
+                        self.point_birth,
+                        self.rig_times[r0] - self.track_lifetime_sec))
+                    hi = int(np.searchsorted(
+                        self.point_birth, self.rig_times[r1 - 1]))
+                else:
+                    lo, hi = 0, len(self.points_w)
+                if hi <= lo:
+                    continue
+                cand = self.points_w[lo:hi]
+                p_cam = (
+                    np.asarray(
+                        lie.quat_rotate(
+                            jnp.asarray(q_cw[r0:r1])[:, None], jnp.asarray(cand)[None]
+                        )
                     )
+                    + t_cw[r0:r1, None]
                 )
-                + t_cw[:, None]
-            )
-            uv, valid = cam_ops.project(
-                cam_ops.KIND_FISHEYE624, jnp.asarray(self.camera_params), jnp.asarray(p_cam)
-            )
-            uv = np.asarray(uv)
-            valid = np.asarray(valid)
-            inside = (
-                valid
-                & (uv[..., 0] > 5)
-                & (uv[..., 0] < W - 5)
-                & (uv[..., 1] > 5)
-                & (uv[..., 1] < H - 5)
-                & (p_cam[..., 2] > 0.3)
-            )
-            ri, pi = np.nonzero(inside)
-            pts.append(pi)
-            rigs.append(ri)
-            cams.append(np.full(len(pi), ci))
-            uvs.append(uv[ri, pi] + self.rng.normal(size=(len(pi), 2)) * self.pixel_noise)
+                uv, valid = cam_ops.project(
+                    cam_ops.KIND_FISHEYE624, jnp.asarray(self.camera_params),
+                    jnp.asarray(p_cam),
+                )
+                uv = np.asarray(uv)
+                valid = np.asarray(valid)
+                inside = (
+                    valid
+                    & (uv[..., 0] > 5)
+                    & (uv[..., 0] < W - 5)
+                    & (uv[..., 1] > 5)
+                    & (uv[..., 1] < H - 5)
+                    & (p_cam[..., 2] > 0.3)
+                )
+                if self.point_birth is not None:
+                    trel = (self.rig_times[r0:r1, None]
+                            - self.point_birth[None, lo:hi])
+                    inside &= (trel >= 0.0) & (trel <= self.track_lifetime_sec)
+                ri, pi = np.nonzero(inside)
+                pts.append(pi + lo)
+                rigs.append(ri + r0)
+                cams.append(np.full(len(pi), ci))
+                uvs.append(uv[ri, pi]
+                           + self.rng.normal(size=(len(pi), 2)) * self.pixel_noise)
         pts = np.concatenate(pts)
         rigs = np.concatenate(rigs)
         cams = np.concatenate(cams)

@@ -173,21 +173,28 @@ class Problem:
             for cfg in self.cfgs
         )
 
-        @jax.jit
-        def k_linearize(datas, v, masks, alive):
-            return engine.linearize(cfgs, datas, v, masks, alive)
-
         blocked = any(getattr(c, "block_info", None) for c in cfgs)
         resolve_impl = _rcs.solve_with_system if blocked else engine.solve_with_system
 
-        # assembly (lambda-independent) split from the per-lambda solve so
-        # damping retries reuse it (reference keeps the grad/Hess fixed and
-        # refactors with new damping, Optimizer.cpp:826-854)
+        # linearize + lambda-independent assembly fused into ONE dispatch
+        # (the host loop pays a tunnel round-trip per jit call); the assembly
+        # is still split from the per-lambda solve so damping retries reuse
+        # it (reference keeps grad/Hess fixed and refactors with new damping,
+        # Optimizer.cpp:826-854)
         @jax.jit
-        def k_assemble(datas, lg, v, masks):
+        def k_lin_assemble(datas, v, masks, alive):
+            lg = engine.linearize(cfgs, datas, v, masks, alive)
             if blocked:
-                return _rcs.assemble(cfgs, datas, lg, v, masks)
-            return jnp.zeros(())  # generic path assembles inside k_solve
+                return lg, _rcs.assemble(cfgs, datas, lg, v, masks)
+            return lg, jnp.zeros(())  # generic path assembles inside k_solve
+
+        def k_linearize(datas, v, masks, alive):
+            lg, asm = k_lin_assemble(datas, v, masks, alive)
+            self._last_asm = asm
+            return lg
+
+        def k_assemble(datas, lg, v, masks):
+            return self._last_asm
 
         @partial(jax.jit, static_argnames=("max_iters", "precond"))
         def k_solve(asm, datas, lg, v, masks, lam, max_iters, rel_tol,

@@ -52,6 +52,16 @@ VISUAL_KINDS = ("visual", "rs_visual")
 # every solver kernel (PERF_NOTES candidate #4).
 RIG_COLS = {"visual": 6, "rs_visual": 9}
 
+# Store bf16 copies of the J blocks for the PCG-loop matvec kernels (TPU
+# only): the 40-iteration solve loop re-reads J every matvec and is HBM-
+# bound; bf16 halves that traffic. Cost, gradient, assembly and the final
+# back-substitution RHS stay f32 — the PCG solves the consistently-rounded
+# operator S~ = J~^T w J~ - W~ H_ll^-1 W~^T (symmetric PSD), i.e. the
+# reference's LowerPrecSolvePrecond precision trade (Preconditioner.h:163)
+# applied to the reduced operator itself; LM's model-cost check and exact
+# cost evaluation guard the step quality.
+MATVEC_BF16 = True
+
 
 def _padk(y, k):
     """(n, k) rig-column result back to the full 12-column tangent layout."""
@@ -296,6 +306,9 @@ class VisBatch(NamedTuple):
     J_cal: jnp.ndarray  # (d, kc, N) concat of cal-group Jacobians (or None)
     cal_local: jnp.ndarray  # (N,) window row within [cal_base, cal_base+wb)
     cal_base: jnp.ndarray  # (nt,) 8-aligned window-row base per tile
+    J_mv: jnp.ndarray  # bf16 copies for the PCG matvec loop (or None)
+    J_pt_mv: jnp.ndarray
+    J_cal_mv: jnp.ndarray
     J_pt: jnp.ndarray  # (d, 3, N) rig order
     J_pt_po: jnp.ndarray  # (d, 3, Np) point order
     w_po: jnp.ndarray  # (Np,)
@@ -311,7 +324,7 @@ jax.tree_util.register_pytree_node(
                 b.rg_pt_local, b.rg_hib,
                 b.idx, b.jac, b.ells, b.J_pt, b.J_pt_po, b.w_po, b.pt_local,
                 b.pt_perm, b.pt_inv, b.pt_idx, b.J_cal, b.cal_local,
-                b.cal_base),
+                b.cal_base, b.J_mv, b.J_pt_mv, b.J_cal_mv),
                (b.info, b.groups, b.rig_k, b.cal_groups)),
     lambda aux, ch: VisBatch(
         info=aux[0], w=ch[0], rb_local=ch[1], rb_rows=ch[2], pt_rows=ch[3],
@@ -319,7 +332,8 @@ jax.tree_util.register_pytree_node(
         groups=aux[1], rig_k=aux[2], cal_groups=aux[3], idx=ch[8], jac=ch[9],
         ells=ch[10], J_pt=ch[11], J_pt_po=ch[12], w_po=ch[13], pt_local=ch[14],
         pt_perm=ch[15], pt_inv=ch[16], pt_idx=ch[17], J_cal=ch[18],
-        cal_local=ch[19], cal_base=ch[20],
+        cal_local=ch[19], cal_base=ch[20], J_mv=ch[21], J_pt_mv=ch[22],
+        J_cal_mv=ch[23],
     ),
 )
 
@@ -400,6 +414,13 @@ def _vis_batches(cfgs, datas, lg):
                        or (cal_groups
                            and len(groups) == 1 + len(cal_groups)
                            and groups[0] == fct.RIG)))
+        J_mv = J_pt_mv = J_cal_mv = None
+        if (single and MATVEC_BF16 and jax.default_backend() == "tpu"
+                and J_pt.dtype == jnp.float32):
+            J_mv = jac[0].astype(jnp.bfloat16)
+            J_pt_mv = J_pt.astype(jnp.bfloat16)
+            if J_cal is not None:
+                J_cal_mv = J_cal.astype(jnp.bfloat16)
         if single or "_pt_perm" not in data:
             J_pt_po = w_po = perm = pt_local = pt_inv = pt_rows = pt_base = None
         else:
@@ -418,7 +439,8 @@ def _vis_batches(cfgs, datas, lg):
             J_pt_po=J_pt_po, w_po=w_po,
             pt_local=pt_local, pt_perm=perm, pt_inv=pt_inv,
             pt_idx=pt_idx, J_cal=J_cal, cal_local=data.get("_cb_local"),
-            cal_base=data.get("_cb_base"),
+            cal_base=data.get("_cb_base"), J_mv=J_mv, J_pt_mv=J_pt_mv,
+            J_cal_mv=J_cal_mv,
         ), lin))
     return out
 
@@ -808,17 +830,17 @@ def w_y(rs: RcsSystem, v, yl, axis=None):
     y = zero_tangent(v)._asdict()
     for b in rs.vis:
         if _rig_only_fast(b):
-            (J,) = b.jac
+            J, J_pt, _ = _mv_jacs(b)
             y[fct.RIG] = y[fct.RIG] + _padk(seg.seg_schur_up(
-                J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib, yl,
+                J, J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib, yl,
                 b.rb_base, b.info.nt, b.info.ts, b.info.rb,
                 b.info.prb2 // 128, b.info.nhg, y[fct.RIG].shape[0]), b.rig_k)
             continue
         if _cal_fast(b):
-            J = b.jac[0]
+            J, J_pt, J_cal = _mv_jacs(b)
             n_c = y[b.cal_groups[0][0]].shape[0]
             y_r, y_c = seg.seg_schur_up_cal(
-                J, b.J_cal, b.J_pt, b.w, b.rb_local, b.cal_local,
+                J, J_cal, J_pt, b.w, b.rb_local, b.cal_local,
                 b.rg_pt_local, b.rg_hib, yl, b.rb_base, b.cal_base,
                 b.info.nt, b.info.ts, b.info.rb, b.info.wb,
                 b.info.prb2 // 128, b.info.nhg, y[fct.RIG].shape[0], n_c)
@@ -865,6 +887,13 @@ def _single_pass(b: VisBatch):
     return _rig_only_fast(b) or _cal_fast(b)
 
 
+def _mv_jacs(b: VisBatch):
+    """(J_r, J_pt, J_cal) for the PCG matvec loop: bf16 copies on TPU."""
+    if b.J_mv is not None:
+        return b.J_mv, b.J_pt_mv, b.J_cal_mv
+    return (b.jac[0], b.J_pt, b.J_cal)
+
+
 def _cal_table(b: VisBatch, x: Tangent):
     """Concatenated (n_c, kc) window table in cal_groups order."""
     parts = [getattr(x, g) for g, _ in b.cal_groups]
@@ -893,9 +922,9 @@ def matvec(rs: RcsSystem, v, x: Tangent, axis=None) -> Tangent:
     t = jnp.zeros_like(v.points)
     for b in rs.vis:
         if _rig_only_fast(b):
-            (J,) = b.jac
+            J, J_pt, _ = _mv_jacs(b)
             y_tab, t_b = seg.seg_schur_down(
-                J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib,
+                J, J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib,
                 _rig_cols(x.rig, b.rig_k),
                 b.rb_base, t.shape[0], b.info.nt, b.info.ts, b.info.rb,
                 b.info.prb2 // 128, b.info.nhg)
@@ -903,9 +932,9 @@ def matvec(rs: RcsSystem, v, x: Tangent, axis=None) -> Tangent:
             t = t + t_b
             continue
         if _cal_fast(b):
-            J = b.jac[0]
+            J, J_pt, J_cal = _mv_jacs(b)
             y_r, y_c, t_b = seg.seg_schur_down_cal(
-                J, b.J_cal, b.J_pt, b.w, b.rb_local, b.cal_local,
+                J, J_cal, J_pt, b.w, b.rb_local, b.cal_local,
                 b.rg_pt_local, b.rg_hib, _rig_cols(x.rig, b.rig_k),
                 _cal_table(b, x), b.rb_base, b.cal_base, t.shape[0],
                 b.info.nt, b.info.ts, b.info.rb, b.info.wb,
