@@ -269,6 +269,27 @@ def test_blocked_preconditioner_families():
     assert iters["jacobi"] <= iters["identity"] + 16
 
 
+def test_lifetime_session_stays_single_pass():
+    """Realistic finite-lifetime tracks (bench workload shape) must qualify
+    for the single-pass rig-grid kernels under the DEFAULT tile geometry —
+    guards against regressions that silently fall back to the slow two-grid
+    permute path."""
+    s = SyntheticSession(duration=60.0, keyframe_hz=10.0, gyro_hz=200.0,
+                         accel_hz=200.0, num_points=5000, seed=17,
+                         pixel_noise=0.3, track_lifetime_sec=10.0)
+    p = build_synthetic_problem(
+        s, BuildOptions(init_pose_noise=0.005, init_point_noise=0.03,
+                        init_vel_noise=0.03))
+    rcs.finalize_blocks(p)  # default rb/prb/ts
+    infos = [c.block_info for c in p.cfgs if getattr(c, "block_info", None)]
+    assert infos, "bench-shaped session must block"
+    assert all(i.prb2 > 0 and i.nhg > 0 for i in infos), [
+        (i.prb2, i.nhg) for i in infos]
+    lg = p._build()[0](tuple(p.datas), p.variables, p.masks, None)
+    asm = rcs.assemble(kb_cfgs(p), tuple(p.datas), lg, p.variables, p.masks)
+    assert all(rcs._rig_only_fast(b) for b in asm.vis)
+
+
 def test_pick_solver_threshold():
     s = pick_solver(LMSettings(), 100, "auto")
     assert s.direct_mode

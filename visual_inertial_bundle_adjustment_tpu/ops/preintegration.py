@@ -24,6 +24,7 @@ Times are seconds relative to each interval's start.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -284,8 +285,10 @@ def preintegrate(
     )
 
 
+@partial(jax.jit, static_argnames=("num_steps",))
 def preintegrate_batch(calibs, intervals: PreintInterval, noise, num_steps: int):
-    """vmap over a batch of intervals with per-interval calibration."""
+    """vmap over a batch of intervals with per-interval calibration (jitted:
+    the eager scan would dispatch op-by-op through the device tunnel)."""
     return jax.vmap(lambda c, iv: preintegrate(c, iv, noise, num_steps))(calibs, intervals)
 
 

@@ -16,6 +16,7 @@ gravity estimate is refreshed — the counterpart of updateRollingShutterData
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -124,6 +125,7 @@ def build_rs_table(calib, first_half: PreintInterval, second_half: PreintInterva
     ), gravity_w
 
 
+@partial(jax.jit, static_argnames=("num_steps", "K"))
 def build_rs_tables(calib_per_rig, first_halves, second_halves, gravity_w,
                     num_steps: int, K: int) -> RSTables:
     (dt, q, dV, dP, ig, ia, idv, count), _ = jax.vmap(

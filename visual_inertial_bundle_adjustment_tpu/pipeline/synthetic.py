@@ -298,7 +298,17 @@ class SyntheticSession:
                     lo, hi = 0, len(self.points_w)
                 if hi <= lo:
                     continue
-                cand = self.points_w[lo:hi]
+                # pad the candidate count to a pow-2 bucket so the jitted
+                # projection compiles once per bucket, not per chunk
+                n_cand = hi - lo
+                bucket = 1 << max(n_cand - 1, 1).bit_length()
+                hi_pad = min(lo + bucket, len(self.points_w))
+                lo_pad = max(hi_pad - bucket, 0)
+                cand = self.points_w[lo_pad:lo_pad + bucket] \
+                    if lo_pad + bucket <= len(self.points_w) \
+                    else np.pad(self.points_w[lo_pad:],
+                                ((0, lo_pad + bucket - len(self.points_w)), (0, 0)))
+                lo = lo_pad
                 p_cam = (
                     np.asarray(
                         lie.quat_rotate(
@@ -322,9 +332,14 @@ class SyntheticSession:
                     & (p_cam[..., 2] > 0.3)
                 )
                 if self.point_birth is not None:
-                    trel = (self.rig_times[r0:r1, None]
-                            - self.point_birth[None, lo:hi])
-                    inside &= (trel >= 0.0) & (trel <= self.track_lifetime_sec)
+                    cand_idx = np.arange(lo, lo + cand.shape[0])
+                    in_table = cand_idx < len(self.points_w)
+                    birth = self.point_birth[np.minimum(cand_idx,
+                                                        len(self.points_w) - 1)]
+                    trel = self.rig_times[r0:r1, None] - birth[None, :]
+                    inside &= ((trel >= 0.0)
+                               & (trel <= self.track_lifetime_sec)
+                               & in_table[None, :])
                 ri, pi = np.nonzero(inside)
                 pts.append(pi + lo)
                 rigs.append(ri + r0)

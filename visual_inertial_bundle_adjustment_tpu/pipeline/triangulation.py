@@ -12,6 +12,8 @@ InitPointTracks.cpp:44; sequences differ, determinism is preserved).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -130,6 +132,7 @@ def _refine_pass(point, cam_q, cam_t, intr, obs_uv, sqrt_h, valid, camera_kind,
     return pt, is_inl
 
 
+@partial(jax.jit, static_argnames=("camera_kind",))
 def triangulate_tracks(point_ids, cam_q, cam_t, intr, obs_uv, sqrt_h, valid,
                        camera_kind=cam_ops.KIND_FISHEYE624):
     """Batched triangulation.
