@@ -415,7 +415,6 @@ def write_covariances(outdir, adapter, problem, pcg_iters=400):
 
 def save_online_calib_states(path, adapter):
     """Per-rig re-estimated calibration (reference SaveOnlineCalib.cpp:23-64)."""
-    from ..models import imu as imu_model
     from ..ops import camera as cam_ops
     from . import session_data as sio
 

@@ -8,7 +8,6 @@ unavailable, so the framework stays pure-Python-capable.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

@@ -331,15 +331,14 @@ class SyntheticSession:
                     & (uv[..., 1] < H - 5)
                     & (p_cam[..., 2] > 0.3)
                 )
+                cand_idx = np.arange(lo, lo + cand.shape[0])
+                in_table = cand_idx < len(self.points_w)
+                inside &= in_table[None, :]  # bucket-padding phantoms
                 if self.point_birth is not None:
-                    cand_idx = np.arange(lo, lo + cand.shape[0])
-                    in_table = cand_idx < len(self.points_w)
                     birth = self.point_birth[np.minimum(cand_idx,
                                                         len(self.points_w) - 1)]
                     trel = self.rig_times[r0:r1, None] - birth[None, :]
-                    inside &= ((trel >= 0.0)
-                               & (trel <= self.track_lifetime_sec)
-                               & in_table[None, :])
+                    inside &= (trel >= 0.0) & (trel <= self.track_lifetime_sec)
                 ri, pi = np.nonzero(inside)
                 pts.append(pi + lo)
                 rigs.append(ri + r0)

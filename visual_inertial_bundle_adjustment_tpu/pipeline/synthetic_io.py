@@ -157,8 +157,20 @@ def write_session_dir(
         )
 
     rig_ts_us = np.round(s.rig_times * 1e6).astype(np.int64)
+    # noise-free states are identical across records: serialize ONCE (the
+    # per-record path pulls small device arrays per entry — minutes at
+    # thousands of rigs)
+    frozen = None
+    if online_calib_noise == 0.0:
+        frozen = json.dumps({
+            "CameraCalibrations": cam_json_entries(0.0),
+            "ImuCalibrations": imu_json_entries(0.0),
+        })[1:-1]
     with open(path / "online_calibration.jsonl", "w") as f:
         for t_us in rig_ts_us:
+            if frozen is not None:
+                f.write('{"tracking_timestamp_us": %d, %s}\n' % (int(t_us), frozen))
+                continue
             f.write(
                 json.dumps(
                     {

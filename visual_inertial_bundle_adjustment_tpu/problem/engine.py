@@ -26,14 +26,14 @@ precomputed diagonal, inside the reduced matvec.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..ops import losses
 from . import factors as fct
-from .structure import Masks, Tangent, VariableTables, t_add, t_axpy, t_dot, t_scale, zero_tangent
+from .structure import Masks, Tangent, VariableTables, t_dot, zero_tangent
 
 
 class LinearizedGraph(NamedTuple):
@@ -482,39 +482,52 @@ def back_substitute(lg, v, rs: ReducedSystem, x_r: Tangent, b_l):
 
 
 def pcg_solve(lg, v, rs: ReducedSystem, b: Tangent, max_iters: int, rel_tol):
-    """Returns (x, final_rel_residual, iters)."""
+    """Returns (x, final_rel_residual, iters). State runs PACKED into one
+    (nb, K) array (structure.pack_t) so the loop's dots/axpys are single
+    fused ops and the block-Jacobi apply one masked contraction."""
+    from .structure import pack_blocks, pack_info, pack_t, unpack_t
 
-    def mv(x):
-        return reduced_matvec(lg, v, rs, x)
+    counts, dims, K = pack_info(b)
+    bp = pack_t(b, counts, dims, K)
+    Pm = (pack_blocks(rs.precond_inv, counts, dims, K)
+          if rs.precond_inv is not None else None)
 
-    b_norm2 = t_dot(b, b)
-    x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
-    r0 = b
-    z0 = _apply_precond(rs, r0)
-    p0 = z0
-    rz0 = t_dot(r0, z0)
+    def mv(xp):
+        y = reduced_matvec(lg, v, rs, unpack_t(xp, counts, dims, K))
+        return pack_t(y, counts, dims, K)
+
+    def prec(rp):
+        if Pm is None:  # IdentityPrecond
+            return rp
+        # elementwise contraction (VPU, f32/f64-exact): a batched matmul
+        # would round through bf16 on the MXU at DEFAULT precision
+        return jnp.sum(Pm * rp[:, None, :], axis=-1)
+
+    b_norm2 = jnp.vdot(bp, bp)
+    x0 = jnp.zeros_like(bp)
+    z0 = prec(bp)
+    rz0 = jnp.vdot(bp, z0)
 
     def cond(state):
         _, r, _, _, it, _ = state
-        rn = t_dot(r, r)
-        return (it < max_iters) & (rn > rel_tol * rel_tol * b_norm2)
+        return (it < max_iters) & (jnp.vdot(r, r) > rel_tol * rel_tol * b_norm2)
 
     def body(state):
         x, r, z, p, it, rz = state
         Ap = mv(p)
-        pAp = t_dot(p, Ap)
+        pAp = jnp.vdot(p, Ap)
         alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
-        x = t_axpy(alpha, p, x)
-        r = t_axpy(-alpha, Ap, r)
-        z = _apply_precond(rs, r)
-        rz_new = t_dot(r, z)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = prec(r)
+        rz_new = jnp.vdot(r, z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-        p = t_axpy(beta, p, z)
+        p = z + beta * p
         return (x, r, z, p, it + 1, rz_new)
 
-    x, r, _, _, iters, _ = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, 0, rz0))
-    rel = jnp.sqrt(t_dot(r, r) / jnp.where(b_norm2 == 0, 1.0, b_norm2))
-    return x, rel, iters
+    x, r, _, _, iters, _ = jax.lax.while_loop(cond, body, (x0, bp, z0, z0, 0, rz0))
+    rel = jnp.sqrt(jnp.vdot(r, r) / jnp.where(b_norm2 == 0, 1.0, b_norm2))
+    return unpack_t(x, counts, dims, K), rel, iters
 
 
 def solve_step(cfgs, datas, lg, v, masks, lam, max_iters=250, rel_tol=1e-10,

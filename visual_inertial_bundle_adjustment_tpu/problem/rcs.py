@@ -40,7 +40,9 @@ import numpy as np
 from ..ops import segments as seg
 from . import engine
 from . import factors as fct
-from .structure import Masks, Tangent, VariableTables, t_axpy, t_dot, zero_tangent
+from .structure import (Masks, Tangent, pack_blocks,
+                        pack_info as _pack_info, pack_t, t_dot,
+                        unpack_t, zero_tangent)
 
 VISUAL_KINDS = ("visual", "rs_visual")
 
@@ -993,50 +995,6 @@ def _apply_precond(rs: RcsSystem, r: Tangent) -> Tangent:
 # inputs are zero-padded, preconditioner blocks are zero outside their
 # group's dims), so packed dots equal the tree t_dot bit-for-bit up to
 # reduction order.
-
-
-def _pack_info(t: Tangent):
-    counts, dims = [], []
-    for f in Tangent._fields:
-        a = getattr(t, f)
-        if a.ndim == 1:  # gravity
-            counts.append(1)
-            dims.append(a.shape[0])
-        else:
-            counts.append(a.shape[0])
-            dims.append(a.shape[1])
-    return tuple(counts), tuple(dims), max(dims)
-
-
-def pack_t(t: Tangent, counts, dims, K):
-    parts = []
-    for f, dim in zip(Tangent._fields, dims):
-        a = getattr(t, f)
-        if a.ndim == 1:
-            a = a[None, :]
-        parts.append(jnp.pad(a, ((0, 0), (0, K - dim))))
-    return jnp.concatenate(parts, axis=0)
-
-
-def unpack_t(x, counts, dims, K):
-    out = {}
-    off = 0
-    for f, n, dim in zip(Tangent._fields, counts, dims):
-        a = jax.lax.slice(x, (off, 0), (off + n, dim))
-        out[f] = a[0] if f == "gravity" else a
-        off += n
-    return Tangent(**out)
-
-
-def pack_blocks(p: Tangent, counts, dims, K):
-    """Block-Jacobi inverse blocks -> one (nb, K, K) stack, zero-padded."""
-    parts = []
-    for f, dim in zip(Tangent._fields, dims):
-        B = getattr(p, f)
-        if B.ndim == 2:  # gravity (2, 2)
-            B = B[None]
-        parts.append(jnp.pad(B, ((0, 0), (0, K - dim), (0, K - dim))))
-    return jnp.concatenate(parts, axis=0)
 
 
 def pcg(rs: RcsSystem, v, b: Tangent, max_iters: int, rel_tol, axis=None):

@@ -241,6 +241,57 @@ def t_norm(a):
     return jnp.sqrt(t_dot(a, a))
 
 
+# --- packed reduced-state layout (one (nb, K) array; rows partition the
+# groups, columns padded to the widest tangent dim). PCG loop ops over the
+# 7-leaf Tangent tree cost ~0.7 ms/iter in small-op overhead on TPU; packing
+# turns each dot/axpy into one fused op and the block-Jacobi apply into one
+# masked elementwise contraction. Pads stay exactly zero end to end. ---
+
+
+def pack_info(t: Tangent):
+    counts, dims = [], []
+    for f in Tangent._fields:
+        a = getattr(t, f)
+        if a.ndim == 1:  # gravity
+            counts.append(1)
+            dims.append(a.shape[0])
+        else:
+            counts.append(a.shape[0])
+            dims.append(a.shape[1])
+    return tuple(counts), tuple(dims), max(dims)
+
+
+def pack_t(t: Tangent, counts, dims, K):
+    parts = []
+    for f, dim in zip(Tangent._fields, dims):
+        a = getattr(t, f)
+        if a.ndim == 1:
+            a = a[None, :]
+        parts.append(jnp.pad(a, ((0, 0), (0, K - dim))))
+    return jnp.concatenate(parts, axis=0)
+
+
+def unpack_t(x, counts, dims, K):
+    out = {}
+    off = 0
+    for f, n, dim in zip(Tangent._fields, counts, dims):
+        a = jax.lax.slice(x, (off, 0), (off + n, dim))
+        out[f] = a[0] if f == "gravity" else a
+        off += n
+    return Tangent(**out)
+
+
+def pack_blocks(p: Tangent, counts, dims, K):
+    """Block-Jacobi inverse blocks -> one (nb, K, K) stack, zero-padded."""
+    parts = []
+    for f, dim in zip(Tangent._fields, dims):
+        B = getattr(p, f)
+        if B.ndim == 2:  # gravity (2, 2)
+            B = B[None]
+        parts.append(jnp.pad(B, ((0, 0), (0, K - dim), (0, K - dim))))
+    return jnp.concatenate(parts, axis=0)
+
+
 def make_tables(
     num_rigs: int,
     num_points: int = 0,
