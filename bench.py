@@ -122,9 +122,17 @@ def timed_iterations(problem, n_iters, pcg_iters=40):
     return 1.0 / dt, float(stats.cost)
 
 
+def _note(msg):
+    sys.stderr.write(f"[bench {time.strftime('%H:%M:%S')}] {msg}\n")
+    sys.stderr.flush()
+
+
 def run_device():
+    _note("building bias-only problem...")
     problem = build_problem()
+    _note("timing bias-only iterations...")
     ips, cost = timed_iterations(problem, TIMED_ITERS)
+    _note(f"bias-only: {ips:.3f} iters/s")
     return ips
 
 
@@ -177,9 +185,12 @@ def run_cpu_reference():
 
 def run_full_sensor():
     try:
+        _note("building full-sensor 10-min problem...")
         with tempfile.TemporaryDirectory() as tmp:
             problem = build_full_sensor_problem(tmp)
+        _note("timing full-sensor iterations...")
         ips, _ = timed_iterations(problem, FULL_TIMED_ITERS)
+        _note(f"full-sensor: {ips:.3f} iters/s")
         return ips
     except Exception as e:  # noqa: BLE001
         sys.stderr.write(f"full-sensor config failed: {e}\n")
@@ -189,7 +200,9 @@ def run_full_sensor():
 def main():
     ips = run_device()
     full_ips = run_full_sensor()
+    _note("running CPU reference-direct baseline...")
     ref_ips = run_cpu_reference()
+    _note("running CPU same-algorithm baseline...")
     cpu_ips = run_cpu_subprocess()
     vs = ips / ref_ips if ref_ips else (ips / cpu_ips if cpu_ips else None)
     print(
