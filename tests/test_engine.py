@@ -223,3 +223,21 @@ def _qmat(q):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_chunked_linearize_matches(small_problem, monkeypatch):
+    """The lax.map-chunked wide-tangent linearizer (HBM guard for
+    multi-million-observation batches) must produce identical output."""
+    import visual_inertial_bundle_adjustment_tpu.problem.factors as fmod
+
+    cfgs = engine.prune_cfgs(tuple(small_problem.cfgs), small_problem.masks)
+    cfg, data = cfgs[0], small_problem.datas[0]
+    ref = fct.linearize_batch(cfg, data, small_problem.variables, small_problem.masks)
+    monkeypatch.setattr(fmod, "LINEARIZE_CHUNK", 32)
+    chunked = fct.linearize_batch(cfg, data, small_problem.variables,
+                                  small_problem.masks)
+    np.testing.assert_allclose(np.asarray(chunked.res), np.asarray(ref.res),
+                               atol=1e-14)
+    np.testing.assert_array_equal(np.asarray(chunked.valid), np.asarray(ref.valid))
+    for Ja, Jb in zip(chunked.jac, ref.jac):
+        np.testing.assert_allclose(np.asarray(Ja), np.asarray(Jb), atol=1e-14)

@@ -46,6 +46,9 @@ IMU_EXTR = "imu_extr"
 DET_BIAS = "det_bias"
 GRAVITY = "gravity"
 
+# factor-axis chunk for the vmapped-jacfwd linearizer (see linearize_batch)
+LINEARIZE_CHUNK = 1 << 18
+
 GROUP_DIMS = {
     RIG: 12,
     POINTS: 3,
@@ -797,7 +800,31 @@ def linearize_batch(cfg: BatchCfg, data, v: VariableTables, masks: Masks) -> Lin
         jacs_active, (res, valid) = jax.jacfwd(f, has_aux=True)(zeros_active)
         return jacs_active, res, valid
 
-    jacs_active, res, valid = jax.vmap(row)(args)
+    # Wide-tangent forward AD materializes O(n x n_active_dims) temporaries
+    # per primitive: at millions of observations that exceeds HBM. Chunk the
+    # vmapped jacfwd with lax.map so temporaries stay bounded; outputs are
+    # identical (pure per-row function).
+    CHUNK = LINEARIZE_CHUNK
+    if n > 2 * CHUNK:
+        n_full = (n // CHUNK) * CHUNK
+
+        def run_chunks(a):
+            stacked = jax.tree_util.tree_map(
+                lambda x: x[:n_full].reshape((n_full // CHUNK, CHUNK) + x.shape[1:]), a)
+            out = jax.lax.map(jax.vmap(row), stacked)
+            return jax.tree_util.tree_map(
+                lambda x: x.reshape((n_full,) + x.shape[2:]), out)
+
+        head = run_chunks(args)
+        if n_full < n:
+            tail = jax.vmap(row)(
+                jax.tree_util.tree_map(lambda x: x[n_full:], args))
+            jacs_active, res, valid = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b]), head, tail)
+        else:
+            jacs_active, res, valid = head
+    else:
+        jacs_active, res, valid = jax.vmap(row)(args)
     res = res.T  # (d, N)
     valid = valid.astype(dtype)
     if "_pad" in data:  # padded grid rows never count as failing
