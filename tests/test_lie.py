@@ -178,5 +178,44 @@ class TestS2:
         np.testing.assert_allclose(lie.s2_boxminus(v3, v, radius), small, atol=1e-10)
 
 
+class TestReverseModeAtSingularities:
+    """jacrev must stay finite exactly at the small-angle branch points.
+
+    Reverse mode backprops a ZERO cotangent through the unselected exact
+    branch of every Taylor guard; if that branch is evaluated at the singular
+    input its local derivative is inf and 0*inf = NaN (the double-where
+    rule). Forward mode never sees this, so only jacrev catches regressions —
+    hit in production by random-walk factors between identically-initialized
+    calibration windows (relative pose exactly identity)."""
+
+    def _check(self, f, *args):
+        for mode in (jax.jacrev, jax.jacfwd):
+            J = mode(f)(*args)
+            assert jnp.all(jnp.isfinite(jnp.asarray(J))), (mode, J)
+
+    def test_se3_boxminus_at_identity(self):
+        q = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+        t = jnp.asarray([0.3, -0.2, 1.0])
+        self._check(lambda tt: lie.se3_boxminus((q, tt), (q, t)), t)
+        self._check(
+            lambda xi: lie.se3_boxminus(lie.se3_boxplus((q, t), xi), (q, t)),
+            jnp.zeros(6),
+        )
+
+    def test_so3_exp_log_jacobians_at_zero(self):
+        self._check(lie.so3_exp, jnp.zeros(3))
+        self._check(lambda w: lie.so3_log(lie.so3_exp(w)), jnp.zeros(3))
+        self._check(lie.so3_left_jacobian, jnp.zeros(3))
+        self._check(lie.so3_left_jacobian_inverse, jnp.zeros(3))
+        self._check(lie.se3_left_jacobian_inverse, jnp.zeros(6))
+
+    def test_s2_box_at_zero_step(self):
+        radius = 9.81
+        v = jnp.asarray([0.1, -0.2, -radius])
+        v = v / jnp.linalg.norm(v) * radius
+        self._check(lambda s: lie.s2_boxplus(v, radius, s), jnp.zeros(2))
+        self._check(lambda x: lie.s2_boxminus(x, v, radius), v)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])

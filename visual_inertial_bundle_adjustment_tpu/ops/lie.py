@@ -100,12 +100,16 @@ def so3_hat(w):
 def so3_exp(w):
     """Axis-angle (..., 3) -> quaternion (..., 4)."""
     theta2 = jnp.sum(w * w, axis=-1, keepdims=True)
-    theta = _safe_sqrt(theta2)
-    half = 0.5 * theta
+    small = theta2 < _SMALL * _SMALL
+    # double-where: evaluate the exact branch at theta=1 when unused so BOTH
+    # AD modes see finite derivatives there (reverse-mode backprops a zero
+    # cotangent through the unselected branch — 0 * inf = NaN otherwise)
+    t2s = jnp.where(small, jnp.ones_like(theta2), theta2)
+    ts = jnp.sqrt(t2s)
+    half = 0.5 * ts
     # sin(x/2)/x and cos(x/2); Taylor: sin(h)/th = 0.5 - th^2/48 + th^4/3840
-    small = theta < _SMALL
     sinc_half = jnp.where(
-        small, 0.5 - theta2 / 48.0 + theta2 * theta2 / 3840.0, jnp.sin(half) / _safe(theta)
+        small, 0.5 - theta2 / 48.0 + theta2 * theta2 / 3840.0, jnp.sin(half) / ts
     )
     cw = jnp.where(small, 1.0 - theta2 / 8.0 + theta2 * theta2 / 384.0, jnp.cos(half))
     return jnp.concatenate([cw, sinc_half * w], axis=-1)
@@ -119,15 +123,18 @@ def so3_log(q):
     sign = jnp.where(w < 0.0, -1.0, 1.0)
     w = w * sign
     v = v * sign
-    vnorm = _safe_vecnorm(v, keepdims=True)
+    vnorm2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    small = vnorm2 < _SMALL * _SMALL
+    # double-where: exact branch evaluated at |v|=1 when unused (see so3_exp)
+    vn2s = jnp.where(small, jnp.ones_like(vnorm2), vnorm2)
+    vns = jnp.sqrt(vn2s)
     # angle = 2*atan2(|v|, w); factor = angle / |v|
-    angle = 2.0 * jnp.arctan2(vnorm, w)
-    small = vnorm < _SMALL
+    angle = 2.0 * jnp.arctan2(vns, w)
     # Taylor of 2*atan2(n, w)/n around n=0: 2/w - 2n^2/(3w^3)
     factor = jnp.where(
         small,
-        2.0 / _safe(w) - 2.0 * vnorm * vnorm / (3.0 * _safe(w) ** 3),
-        angle / _safe(vnorm),
+        2.0 / _safe(w) - 2.0 * vnorm2 / (3.0 * _safe(w) ** 3),
+        angle / vns,
     )
     return factor * v
 
@@ -177,12 +184,14 @@ def matrix_to_quat(m):
 def so3_left_jacobian(w):
     """Left Jacobian J_l of SO(3) at axis-angle w: (..., 3, 3)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = _safe_sqrt(theta2)
-    small = theta < _SMALL
+    small = theta2 < _SMALL * _SMALL
+    # double-where: exact branch evaluated at theta=1 when unused (see so3_exp)
+    t2s = jnp.where(small, jnp.ones_like(theta2), theta2)
+    ts = jnp.sqrt(t2s)
     # J = I + c1*hat(w) + c2*hat(w)^2, c1 = (1-cos)/th^2, c2 = (th-sin)/th^3
-    c1 = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / _safe(theta2))
+    c1 = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(ts)) / t2s)
     c2 = jnp.where(
-        small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / _safe(theta2 * theta)
+        small, 1.0 / 6.0 - theta2 / 120.0, (ts - jnp.sin(ts)) / (t2s * ts)
     )
     W = so3_hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -192,14 +201,16 @@ def so3_left_jacobian(w):
 def so3_left_jacobian_inverse(w):
     """Inverse left Jacobian J_l^{-1} of SO(3): (..., 3, 3)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = _safe_sqrt(theta2)
-    small = theta < _SMALL
+    small = theta2 < _SMALL * _SMALL
+    # double-where: exact branch evaluated at theta=1 when unused (see so3_exp)
+    t2s = jnp.where(small, jnp.ones_like(theta2), theta2)
+    ts = jnp.sqrt(t2s)
     # Jinv = I - 0.5*hat(w) + c*hat(w)^2, c = 1/th^2 - (1+cos)/(2 th sin)
-    half = 0.5 * theta
+    half = 0.5 * ts
     cot_term = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 / _safe(theta2)) - jnp.cos(half) / _safe(2.0 * theta * jnp.sin(half)),
+        (1.0 / t2s) - jnp.cos(half) / (2.0 * ts * jnp.sin(half)),
     )
     W = so3_hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -273,20 +284,22 @@ def se3_adj(T):
 def _se3_Q(v, w):
     """Barfoot's Q(v, w) block of the SE(3) left Jacobian (tangent [v, w])."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = _safe_sqrt(theta2)
-    small = theta < _SMALL
-    th4 = theta2 * theta2
-    s, c = jnp.sin(theta), jnp.cos(theta)
-    c1 = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - s) / _safe(theta2 * theta))
+    small = theta2 < _SMALL * _SMALL
+    # double-where: exact branch evaluated at theta=1 when unused (see so3_exp)
+    t2s = jnp.where(small, jnp.ones_like(theta2), theta2)
+    ts = jnp.sqrt(t2s)
+    th4 = t2s * t2s
+    s, c = jnp.sin(ts), jnp.cos(ts)
+    c1 = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (ts - s) / (t2s * ts))
     c2 = jnp.where(
         small,
         1.0 / 24.0 - theta2 / 720.0,
-        (theta2 + 2.0 * c - 2.0) / _safe(2.0 * th4),
+        (t2s + 2.0 * c - 2.0) / (2.0 * th4),
     )
     c3 = jnp.where(
         small,
         1.0 / 120.0 - theta2 / 2520.0,
-        (2.0 * theta - 3.0 * s + theta * c) / _safe(2.0 * th4 * theta),
+        (2.0 * ts - 3.0 * s + ts * c) / (2.0 * th4 * ts),
     )
     V = so3_hat(v)
     W = so3_hat(w)

@@ -241,9 +241,9 @@ def build_sharded_kernels(problem):
     from functools import partial
 
     try:
-        from jax.experimental.shard_map import shard_map
-    except ImportError:  # newer jax
         from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     from ..problem import engine
     from ..problem import factors as fct

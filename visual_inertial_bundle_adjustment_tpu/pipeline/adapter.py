@@ -62,6 +62,39 @@ CAM_EXTR_TURNON_POS = 4e-4
 CAM_EXTR_TURNON_ROT = 0.2 * np.pi / 180.0
 
 
+def _setup_ctx():
+    """Device context for setup-path numerics (preintegration, triangulation,
+    RS tables): run them on the host CPU backend when the default platform
+    compiles remotely. These kernels are small, shape-diverse (pow-2 sample
+    buckets), and compile-bound — dozens of XLA compiles through a remote
+    compiler dominate session build time otherwise. Their outputs feed numpy
+    batch construction; the finished problem arrays land on the accelerator
+    in one device_put pass at the end of build()."""
+    import contextlib
+
+    if jax.default_backend() == "cpu":
+        return contextlib.nullcontext()
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
+
+def _put_default(tree):
+    """device_put every array leaf onto the default device (no-op for leaves
+    already there); numpy leaves become committed device arrays so jitted
+    per-iteration calls never re-upload them."""
+    dev = jax.devices()[0]
+
+    def put(x):
+        if isinstance(x, (jax.Array, np.ndarray)):
+            return jax.device_put(x, dev)
+        return x
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 @dataclasses.dataclass
 class AdapterOptions:
     """Counterpart of reference InitSettings (viba/common/Settings.h:21-65)."""
@@ -352,6 +385,10 @@ class SessionAdapter:
         self._add_random_walks(problem)
         self._add_factory_priors(problem)
         self._add_omega_priors(problem)
+        # setup-path outputs computed on the CPU backend (_setup_ctx) land on
+        # the accelerator here, in one transfer pass, so per-iteration jitted
+        # calls never re-upload host arrays
+        problem.datas = [_put_default(d) for d in problem.datas]
         return problem
 
     # -- masks ---------------------------------------------------------------
@@ -444,13 +481,14 @@ class SessionAdapter:
         valid = np.zeros((L, T), bool)
         valid[obs_point[sel_fill], obs_slot[sel_fill]] = True
 
-        pts, ok, inl = tri.triangulate_tracks(
-            jnp.asarray(uniq, jnp.int32),
-            jnp.asarray(padded(cq)), jnp.asarray(padded(ct)),
-            jnp.asarray(padded(intr)), jnp.asarray(padded(obs_uv)),
-            jnp.asarray(padded(obs_sqrt_h)), jnp.asarray(valid),
-            camera_kind=self.camera_kind(0),
-        )
+        with _setup_ctx():
+            pts, ok, inl = tri.triangulate_tracks(
+                jnp.asarray(uniq, jnp.int32),
+                jnp.asarray(padded(cq)), jnp.asarray(padded(ct)),
+                jnp.asarray(padded(intr)), jnp.asarray(padded(obs_uv)),
+                jnp.asarray(padded(obs_sqrt_h)), jnp.asarray(valid),
+                camera_kind=self.camera_kind(0),
+            )
         pts = np.asarray(pts)
         ok = np.asarray(ok)
         inl = np.asarray(inl)
@@ -524,15 +562,16 @@ class SessionAdapter:
         half = self._rs_half_length()
         rig_t = self.rig_ts_us.astype(np.float64) * 1e-6
         halves = np.full(self.R, half)
-        iv1, n1 = self._intervals_for(0, rig_t - half, rig_t, slack=0.02)
-        iv2, n2 = self._intervals_for(0, rig_t, rig_t + half, slack=0.02)
-        num_steps = max(n1, n2)
-        K = num_steps + 2
         calib_rows = self.rig_window * self.num_imus + 0
-        calibs = v.imu_calib[jnp.asarray(calib_rows)]
-        return rs.build_rs_tables(
-            calibs, iv1, iv2, v.gravity, num_steps, K
-        )
+        calibs = np.asarray(v.imu_calib)[calib_rows]
+        gravity = np.asarray(v.gravity)
+        with _setup_ctx():
+            iv1, n1 = self._intervals_for(0, rig_t - half, rig_t, slack=0.02)
+            iv2, n2 = self._intervals_for(0, rig_t, rig_t + half, slack=0.02)
+            num_steps = max(n1, n2)
+            K = num_steps + 2
+            tables = rs.build_rs_tables(calibs, iv1, iv2, gravity, num_steps, K)
+        return _put_default(tables)
 
     def update_rolling_shutter_data(self):
         """Refresh RS tables at the current estimates and swap them into all
@@ -566,13 +605,16 @@ class SessionAdapter:
                 if not keep.any():
                     continue
                 rows = np.asarray([row_of_prev[int(p)] for p in bucket_prevs[keep]])
-                kidx = jnp.asarray(np.nonzero(keep)[0])
-                sub_iv = pre.PreintInterval(
-                    iv.gyro_t[kidx], iv.gyro_v[kidx], iv.accel_t[kidx],
-                    iv.accel_v[kidx], iv.t_len[kidx],
-                )
-                calibs = v.imu_calib[data["calib"][jnp.asarray(rows)]]
-                p = pre.preintegrate_batch(calibs, sub_iv, noise, num_steps)
+                kidx = np.nonzero(keep)[0]
+                calibs = np.asarray(v.imu_calib)[
+                    np.asarray(data["calib"])[rows]]
+                with _setup_ctx():
+                    sub_iv = pre.PreintInterval(
+                        iv.gyro_t[kidx], iv.gyro_v[kidx], iv.accel_t[kidx],
+                        iv.accel_v[kidx], iv.t_len[kidx],
+                    )
+                    p = pre.preintegrate_batch(calibs, sub_iv, noise, num_steps)
+                p = jax.tree_util.tree_map(np.asarray, p)
                 r = jnp.asarray(rows)
                 data["preint_q"] = data["preint_q"].at[r].set(p.rvp.q)
                 data["preint_dv"] = data["preint_dv"].at[r].set(p.rvp.dV)
@@ -661,27 +703,29 @@ class SessionAdapter:
             2 ** np.ceil(np.log2(np.maximum(need, 1))).astype(np.int64), 8
         )
         n = len(t0s)
+        calibs = np.asarray(calibs)
         buckets = []
         results, sels = [], []
-        for s_val in np.unique(S):
-            sel = np.nonzero(S == s_val)[0]
-            iv, num_steps = self._intervals_for(
-                ii, np.asarray(t0s)[sel], np.asarray(t1s)[sel], slack=slack,
-                S=int(s_val),
-            )
-            p = pre.preintegrate_batch(calibs[jnp.asarray(sel)], iv, noise, num_steps)
-            buckets.append((sel, iv, num_steps))
-            results.append(p)
-            sels.append(sel)
+        with _setup_ctx():
+            for s_val in np.unique(S):
+                sel = np.nonzero(S == s_val)[0]
+                iv, num_steps = self._intervals_for(
+                    ii, np.asarray(t0s)[sel], np.asarray(t1s)[sel], slack=slack,
+                    S=int(s_val),
+                )
+                p = pre.preintegrate_batch(calibs[sel], iv, noise, num_steps)
+                buckets.append((sel, iv, num_steps))
+                results.append(p)
+                sels.append(sel)
         if len(results) == 1:
-            return results[0], buckets
+            return jax.tree_util.tree_map(np.asarray, results[0]), buckets
 
         def merge(*xs):
             x0 = np.asarray(xs[0])
             out = np.zeros((n,) + x0.shape[1:], x0.dtype)
             for sel, x in zip(sels, xs):
                 out[sel] = np.asarray(x)
-            return jnp.asarray(out)
+            return out
 
         return jax.tree_util.tree_map(merge, *results), buckets
 
@@ -713,9 +757,10 @@ class SessionAdapter:
             if not hasattr(self, "_preint_prev"):
                 self._preint_prev = {}
             self._preint_prev[ii] = prev[sel]
-            sqrt_info = chol_inv_lower(p.cov[sel])
+            with _setup_ctx():
+                sqrt_info = np.asarray(chol_inv_lower(p.cov[sel]))
             self._omega_meas[ii] = (nxt[sel], np.asarray(p.omega_at_end)[sel])
-            mask = jnp.asarray(self.imu_calib_mask, jnp.float64)
+            mask = np.asarray(self.imu_calib_mask, np.float64)
             common = {
                 "prev_rig": jnp.asarray(prev[sel], jnp.int32),
                 "next_rig": jnp.asarray(nxt[sel], jnp.int32),
@@ -726,7 +771,7 @@ class SessionAdapter:
                 "preint_dt": p.rvp.dt[sel],
                 "preint_J": p.J[sel],
                 "calib_eval": p.calib_eval[sel],
-                "calib_mask": jnp.broadcast_to(mask, (len(sel), imu_model.CALIB_DIM)),
+                "calib_mask": np.broadcast_to(mask, (len(sel), imu_model.CALIB_DIM)),
                 "sqrt_info": sqrt_info,
             }
             if ii == 0:

@@ -790,6 +790,19 @@ def linearize_batch(cfg: BatchCfg, data, v: VariableTables, masks: Masks) -> Lin
     zeros_full = tuple(jnp.zeros((GROUP_DIMS[g],), dtype) for g, _ in tangents)
     zeros_active = tuple(zeros_full[i] for i in active)
 
+    # AD mode: forward carries one tangent pass per active column, reverse one
+    # cotangent pass per residual dim. Wide-tangent factors with tiny residuals
+    # (visual/rs_visual: 38 cols -> 2 rows) are far cheaper in reverse mode;
+    # priors/random-walks (square-ish) stay forward. Outputs are identical
+    # (both are exact AD of the same pure function).
+    n_active_dims = sum(GROUP_DIMS[tangents[i][0]] for i in active)
+    res_sds = jax.eval_shape(
+        lambda a: spec["local"](zeros_full, a, cfg)[0],
+        jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape[1:], x.dtype), args),
+    )
+    jac_mode = jax.jacrev if n_active_dims > res_sds.shape[-1] + 2 else jax.jacfwd
+
     def row(ar):
         def f(ts_active):
             ts = list(zeros_full)
@@ -797,7 +810,7 @@ def linearize_batch(cfg: BatchCfg, data, v: VariableTables, masks: Masks) -> Lin
                 ts[i] = ts_active[pos]
             return spec["local"](tuple(ts), ar, cfg)
 
-        jacs_active, (res, valid) = jax.jacfwd(f, has_aux=True)(zeros_active)
+        jacs_active, (res, valid) = jac_mode(f, has_aux=True)(zeros_active)
         return jacs_active, res, valid
 
     # Wide-tangent forward AD materializes O(n x n_active_dims) temporaries
