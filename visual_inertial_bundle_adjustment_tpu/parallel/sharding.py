@@ -23,6 +23,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _shard_map_compat():
+    """shard_map with the replication-check kwarg normalized across JAX
+    versions: jax>=0.8 `jax.shard_map` takes `check_vma`, the older
+    `jax.experimental.shard_map.shard_map` takes `check_rep`. Call sites
+    always pass `check_rep=` and we translate."""
+    try:
+        from jax import shard_map as _impl
+        check_kw = "check_vma"
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _impl
+        check_kw = "check_rep"
+
+    def wrapped(fn, *, mesh, in_specs, out_specs, check_rep=False):
+        return _impl(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     **{check_kw: check_rep})
+
+    return wrapped
+
+
 def make_mesh(num_devices: int | None = None, axis: str = "kf") -> Mesh:
     devs = jax.devices()
     if num_devices is not None:
@@ -240,10 +259,7 @@ def build_sharded_kernels(problem):
     import dataclasses as _dc
     from functools import partial
 
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+    shard_map = _shard_map_compat()
 
     from ..problem import engine
     from ..problem import factors as fct
