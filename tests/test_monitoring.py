@@ -66,6 +66,27 @@ def test_monitor_captures_iterations(tmp_path: pathlib.Path):
         assert "calib:" in html
 
 
+def test_live_html_refresh(tmp_path: pathlib.Path):
+    """The dashboard artifact is rewritten DURING the run (reference GUI is
+    a live view, gui/MonitoringState.h:20-100): publishing iterations with
+    html_every=2 must update the file contents as iterations stream in."""
+    mon = monitoring.Monitor(snapshot_every=0,
+                             html_path=str(tmp_path / "live.html"),
+                             html_every=2)
+    sizes = []
+    for i in range(1, 7):
+        mon.publish(monitoring.IterationData(
+            iteration=i, cost=100.0 / i, prev_cost=100.0 / max(i - 1, 1),
+            damping=1e-4))
+        if i % 2 == 0:
+            assert (tmp_path / "live.html").exists()
+            sizes.append((tmp_path / "live.html").stat().st_size)
+    # each refresh adds points to the cost polyline => content grows
+    assert len(sizes) == 3 and sizes[0] < sizes[-1]
+    mon.finish(None)
+    assert "cost (log10)" in (tmp_path / "live.html").read_text()
+
+
 @pytest.mark.slow
 def test_background_runner():
     problem = _problem()

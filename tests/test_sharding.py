@@ -111,6 +111,62 @@ def test_sharded_cal_step_matches_single_device():
             rtol=1e-3, atol=1e-6, err_msg=f)
 
 
+def test_sharded_substep_resolve_matches_single_device():
+    """Sub-step re-solve under sharding (Optimizer.cpp:958-1000 parity,
+    round-2 VERDICT item 6): k_resolve on the sharded kernels must solve
+    H(v) x = g with the same damped system as the single-device blocked
+    path (rebuilt inside the shard from the lambda that k_step forwards)."""
+    pa = _problem()
+    pb = _problem()
+    rcs.finalize_blocks(pa, rb=8, prb=16, ts=64)
+    lg_a, out_a = _one_step(pa)
+    mesh = make_mesh(8)
+    shard_blocked_problem(pb, mesh, rb=8, prb=16, ts=64)
+    lg_b, out_b = _one_step(pb)
+
+    # gradient at the post-step variables, as the optimizer's sub-step does
+    k_resolve_a, k_grad_a = pa._jits[2], pa._jits[4]
+    k_resolve_b, k_grad_b = pb._jits[2], pb._jits[4]
+    g2a = k_grad_a(tuple(pa.datas), out_a[7], pa.masks)
+    g2b = k_grad_b(tuple(pb.datas), out_b[7], pb.masks)
+    sa_r, sa_l = k_resolve_a(lg_a, pa.variables, out_a[5], *g2a, 400, 1e-13)
+    sb_r, sb_l = k_resolve_b(lg_b, pb.variables, out_b[5], *g2b, 400, 1e-13)
+    for f in sa_r._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(sa_r, f)), np.asarray(getattr(sb_r, f)),
+            rtol=1e-3, atol=1e-6, err_msg=f)
+    np.testing.assert_allclose(np.asarray(sa_l), np.asarray(sb_l),
+                               rtol=1e-3, atol=1e-6)
+
+
+def test_generic_shard_problem_fallback_matches_single_device():
+    """The documented escape hatch for layouts that fail
+    shard_blocked_problem's single-pass eligibility (sharding.py ValueError
+    path): generic GSPMD sharding over the factor axis must still match the
+    single-device step (round-2 VERDICT item 8)."""
+    from visual_inertial_bundle_adjustment_tpu.parallel.sharding import shard_problem
+
+    pa = _problem()
+    pb = _problem()
+    # single-device GENERIC path (no blocked layout) as the truth
+    pa.use_blocked_engine = False
+    lg_a, out_a = _one_step(pa)
+
+    mesh = make_mesh(8)
+    shard_problem(pb, mesh)
+    assert not any(getattr(c, "block_info", None) for c in pb.cfgs)
+    lg_b, out_b = _one_step(pb)
+
+    np.testing.assert_allclose(float(lg_a.cost), float(lg_b.cost), rtol=1e-10)
+    x_a, x_b = out_a[0], out_b[0]
+    for f in x_a._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(x_a, f)), np.asarray(getattr(x_b, f)),
+            rtol=1e-3, atol=1e-6, err_msg=f)
+    np.testing.assert_allclose(float(out_a[9].cost), float(out_b[9].cost),
+                               rtol=1e-7)
+
+
 def test_dryrun_runs_blocked_engine():
     import __graft_entry__ as g
 

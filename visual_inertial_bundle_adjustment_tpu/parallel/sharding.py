@@ -355,7 +355,10 @@ def build_sharded_kernels(problem):
         stats = engine.CostStats(*psum(tuple(st)))
         grad_norm = jnp.sqrt(t_dot(g_r, g_r) + jnp.vdot(g_l, g_l))
         step_norm = jnp.sqrt(t_dot(step_r, step_r) + jnp.vdot(step_l, step_l))
-        return (x_r, x_l, model_red, pcg_rel, pcg_it, jnp.zeros((), dtype),
+        # the rs slot carries the damping lambda: per-shard solver state
+        # cannot cross the shard_map boundary, so k_resolve rebuilds the
+        # damped system inside the shard from (datas, v, lam)
+        return (x_r, x_l, model_red, pcg_rel, pcg_it, lam,
                 (g_r, g_l), v_new, ratios, stats, grad_norm, step_norm)
 
     from ..problem.structure import Tangent as _Tangent
@@ -366,9 +369,12 @@ def build_sharded_kernels(problem):
         (P(), P()), engine.CostStats(P(), P(), P(), P()), P(), P())
     _k_steps = {}
 
+    _last_precond = ["gauss_seidel"]
+
     def k_step(asm, datas, lg, v, masks, lam, max_iters, rel_tol,
                precond="gauss_seidel"):
         key = (max_iters, float(rel_tol), precond)
+        _last_precond[0] = precond
         if key not in _k_steps:
             fn = partial(step_fn, max_iters, rel_tol, precond)
             _k_steps[key] = jax.jit(shard_map(
@@ -385,10 +391,33 @@ def build_sharded_kernels(problem):
                      precond)
         return (out[0], out[1], out[2], out[3], out[4], out[5], out[6])
 
+    # ---- k_resolve: sub-step re-solve (Optimizer.cpp:958-1000) ------------
+    # Solves H(v) x = g_new with the original linearization's damped system.
+    # The per-shard RcsSystem never leaves the shard_map, so it is rebuilt
+    # here (re-linearize + assemble + with_damping) — acceptable because the
+    # sub-step only runs on the rare step-factor-retry path.
+    def resolve_fn(max_iters, rel_tol, precond, datas, valid0, v, masks, lam,
+                   g_r, g_l):
+        lg = engine.linearize(cfgs_l, datas, v, masks, alive=valid0)
+        asm = rcs.assemble(cfgs_l, datas, lg, v, masks, axis=ax)
+        rs = rcs.with_damping(asm, v, masks, lam, precond, ax)
+        return rcs.solve_with_system(lg, v, rs, g_r, g_l, max_iters, rel_tol,
+                                     axis=ax)
+
+    _k_resolves = {}
+
     def k_resolve(lg, v, rs, g_r, g_l, max_iters, rel_tol):
-        raise NotImplementedError(
-            "sub-step re-solve is disabled under mesh sharding "
-            "(per-factor solver state stays shard-local)")
+        lam = rs  # forwarded by k_step in the rs slot
+        key = (max_iters, float(rel_tol), _last_precond[0])
+        if key not in _k_resolves:
+            fn = partial(resolve_fn, max_iters, rel_tol, _last_precond[0])
+            _k_resolves[key] = jax.jit(shard_map(
+                fn, mesh=mesh,
+                in_specs=(dspecs_tree, fvec_spec, vspec, mspec, P(),
+                          _t_spec, P()),
+                out_specs=(_t_spec, P()), check_rep=False))
+        return _k_resolves[key](tuple(problem.datas), lg.valid0, v,
+                                problem.masks, lam, g_r, g_l)
 
     # ---- k_cost / k_grad / k_retract / k_assemble --------------------------
     def cost_fn(datas, stored, valid0, v):

@@ -298,7 +298,8 @@ def main(argv=None):
         if args.monitor_html or args.monitor_jsonl:
             from ..utils.monitoring import Monitor
 
-            monitor = Monitor(jsonl_path=args.monitor_jsonl)
+            monitor = Monitor(jsonl_path=args.monitor_jsonl,
+                              html_path=args.monitor_html)
             monitor.set_calib_layout(
                 adapter.num_cams, adapter.num_imus,
                 window_ts_sec=(adapter.window_mid_ts - adapter.rig_ts_us[0]) / 1e6,
@@ -314,11 +315,8 @@ def main(argv=None):
             settings.iteration_callback = monitor.make_callback(problem)
         summary = optimize(problem, settings)
         if monitor is not None:
-            monitor.finish(summary)
+            monitor.finish(summary)  # renders the final HTML when configured
             if args.monitor_html:
-                from ..utils.monitoring import render_html
-
-                render_html(monitor, args.monitor_html)
                 log(f"dashboard written to {args.monitor_html}")
         log(
             f"optimize: cost {summary.initial_cost:.6g} -> {summary.final_cost:.6g} "

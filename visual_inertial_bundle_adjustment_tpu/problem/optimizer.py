@@ -262,8 +262,6 @@ def optimize(problem: Problem, settings: LMSettings) -> Summary:
     (k_lin, k_solve, k_resolve, k_cost, k_grad, k_retract,
      k_assemble, k_step) = problem._build()
     log = settings.log or (lambda s: None)
-    if getattr(problem, "mesh", None) is not None and settings.try_sub_step:
-        settings = dataclasses.replace(settings, try_sub_step=False)
     datas = tuple(problem.datas)
     masks = problem.masks
     v = problem.variables

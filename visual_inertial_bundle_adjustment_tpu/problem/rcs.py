@@ -1064,9 +1064,10 @@ def solve_step(cfgs, datas, lg, v, masks, lam, max_iters=250, rel_tol=1e-10,
     return solve_assembled(asm, v, masks, lam, max_iters, rel_tol, precond)
 
 
-def solve_with_system(lg, v, rs: RcsSystem, g_r, g_l, max_iters=250, rel_tol=1e-10):
+def solve_with_system(lg, v, rs: RcsSystem, g_r, g_l, max_iters=250, rel_tol=1e-10,
+                      axis=None):
     z = engine._chol_solve(rs.H_ll_inv, g_l)
-    b = jax.tree_util.tree_map(jnp.subtract, g_r, w_y(rs, v, z))
-    x_r, _, _ = pcg(rs, v, b, max_iters, rel_tol)
-    x_l = engine._chol_solve(rs.H_ll_inv, g_l - w_transpose_x(rs, v, x_r))
+    b = jax.tree_util.tree_map(jnp.subtract, g_r, w_y(rs, v, z, axis))
+    x_r, _, _ = pcg(rs, v, b, max_iters, rel_tol, axis)
+    x_l = engine._chol_solve(rs.H_ll_inv, g_l - w_transpose_x(rs, v, x_r, axis))
     return x_r, x_l

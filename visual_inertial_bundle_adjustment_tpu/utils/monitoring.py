@@ -75,7 +75,8 @@ class Monitor:
     """
 
     def __init__(self, snapshot_every: int = 5, jsonl_path: Optional[str] = None,
-                 keep_snapshots: int = 4, max_traj: int = 4000, max_points: int = 5000):
+                 keep_snapshots: int = 4, max_traj: int = 4000, max_points: int = 5000,
+                 html_path: Optional[str] = None, html_every: int = 5):
         self._lock = threading.Lock()
         self.iterations: list[IterationData] = []
         self.snapshot_every = snapshot_every
@@ -83,6 +84,12 @@ class Monitor:
         self.max_traj = max_traj
         self.max_points = max_points
         self.jsonl_path = jsonl_path
+        # live dashboard: rewrite the HTML artifact every html_every
+        # iterations DURING the run (the reference GUI's value is watching a
+        # 250-iteration run live, gui/MonitoringState.h:20-100; here the
+        # watchable artifact is a file whose mtime advances)
+        self.html_path = html_path
+        self.html_every = html_every
         self.done = False
         self.summary = None
         self._t0 = time.time()
@@ -145,11 +152,16 @@ class Monitor:
         if self.jsonl_path:
             with open(self.jsonl_path, "a") as f:
                 f.write(json.dumps(it.to_json()) + "\n")
+        if self.html_path and self.html_every and \
+                it.iteration % self.html_every == 0:
+            render_html(self, self.html_path)
 
     def finish(self, summary):
         with self._lock:
             self.done = True
             self.summary = summary
+        if self.html_path:
+            render_html(self, self.html_path)
 
     # -- consumer side ------------------------------------------------------
 
