@@ -14,5 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("VIBA_TEST_BACKEND") == "tpu":
+    # TPU-accuracy tests (tests/test_tpu_accuracy.py, -m tpu): keep the real
+    # backend and its native f32 — the point is to exercise the bf16/Pallas
+    # fast paths that only engage on TPU.
+    pass
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)

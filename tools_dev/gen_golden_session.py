@@ -24,10 +24,21 @@ jax.config.update("jax_enable_x64", True)
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 BASE = ROOT / "tests/data/golden_session"
+BASE_FULL = ROOT / "tests/data/golden_session_full"
 
 CLI_ARGS = [
     "--calib-constant", "cam-all",
     "--imu-calib-estimation-options", "gyro-bias,accel-bias",
+    "--max-num-iterations", "6",
+]
+
+# full-sensor fixture (round-2 VERDICT item 5): rolling-shutter camera with
+# readout + time-offset estimation, dual IMU with the full calib error
+# state, every random-walk group active over 5 s windows — the hard 60% of
+# the product (reference full pipeline, interfaces/ark/main_AriaKit_ViBa.cpp:32-133)
+CLI_ARGS_FULL = [
+    "--estimate-readout-time",
+    "--estimate-time-offset",
     "--max-num-iterations", "6",
 ]
 
@@ -49,6 +60,18 @@ def main():
     write_session_dir(s, BASE / "input", num_imus=2, seed=9)
     cli.main(["-i", str(BASE / "input"), "-o", str(BASE / "expected"), *CLI_ARGS])
     print(f"golden session written under {BASE}")
+
+    if BASE_FULL.exists():
+        shutil.rmtree(BASE_FULL)
+    sf = SyntheticSession(
+        duration=12.0, keyframe_hz=5.0, gyro_hz=200.0, accel_hz=200.0,
+        num_points=60, num_cameras=1, seed=77, pixel_noise=0.3,
+    )
+    write_session_dir(sf, BASE_FULL / "input", num_imus=2,
+                      readout_time_sec=0.03, seed=8)
+    cli.main(["-i", str(BASE_FULL / "input"), "-o", str(BASE_FULL / "expected"),
+              *CLI_ARGS_FULL])
+    print(f"full-sensor golden session written under {BASE_FULL}")
 
 
 if __name__ == "__main__":

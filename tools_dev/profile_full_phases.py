@@ -31,8 +31,9 @@ def t_call(fn, *args, n=5, tag=""):
 
 def main():
     dur = float(sys.argv[1]) if len(sys.argv) > 1 else 180.0
+    pts = int(sys.argv[2]) if len(sys.argv) > 2 else 18000
     t0 = time.time()
-    problem = build(dur)
+    problem = build(dur, pts)
     print(f"build: {time.time() - t0:.1f}s")
 
     import dataclasses as dc
