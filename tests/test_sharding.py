@@ -139,6 +139,60 @@ def test_sharded_substep_resolve_matches_single_device():
                                rtol=1e-3, atol=1e-6)
 
 
+def test_landmark_halo_sharding_matches_and_drops_table_psum():
+    """Round-2 VERDICT item 7 (SURVEY §7 step 8 landmark shards): with
+    finite-lifetime tracks the per-PCG-matvec landmark reduction rides a
+    neighbor halo exchange — the compiled sharded step must contain NO
+    (L, 3) all-reduce, and the step must still equal single-device."""
+    def _p():
+        s = SyntheticSession(duration=96.0, keyframe_hz=5.0, gyro_hz=100.0,
+                             accel_hz=100.0, num_points=2400, seed=13,
+                             pixel_noise=0.2, track_lifetime_sec=4.0)
+        return build_synthetic_problem(
+            s, BuildOptions(init_pose_noise=0.005, init_point_noise=0.03,
+                            init_vel_noise=0.03))
+
+    pa, pb = _p(), _p()
+    rcs.finalize_blocks(pa, rb=8, prb=16, ts=64)
+    lg_a, out_a = _one_step(pa, iters=60)
+    mesh = make_mesh(8)
+    shard_blocked_problem(pb, mesh, rb=8, prb=16, ts=64)
+    lg_b, out_b = _one_step(pb, iters=60)
+
+    plan = pb.pt_plan
+    assert plan is not None, "halo plan did not engage on a qualifying shape"
+    L = int(pb.variables.points.shape[0])
+    assert plan.halo * 2 < L // 8, (plan.halo, L)
+
+    np.testing.assert_allclose(float(lg_a.cost), float(lg_b.cost), rtol=1e-12)
+    x_a, x_b = out_a[0], out_b[0]
+    for f in x_a._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(x_a, f)), np.asarray(getattr(x_b, f)),
+            rtol=1e-3, atol=1e-6, err_msg=f)
+    np.testing.assert_allclose(np.asarray(out_a[1]), np.asarray(out_b[1]),
+                               rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(float(out_a[9].cost), float(out_b[9].cost),
+                               rtol=1e-7)
+
+    # the compiled step has no landmark-table all-reduce left: every
+    # all-reduce shape must be independent of L (the (L,3) psum is gone;
+    # assembly g_l/H_ll0 psums happen once per iteration and are checked
+    # as the only L-shaped reductions)
+    jitted = next(iter(pb._k_steps.values()))
+    import re
+
+    hlo = jitted.lower(tuple(pb.datas), lg_b.valid0, lg_b.stored_cost,
+                       pb.variables, pb.masks,
+                       jnp.asarray(1e-4, pb.variables.points.dtype)) \
+        .compile().as_text()
+    ar_shapes = re.findall(r"all-reduce[^\n]*?([a-z0-9]+\[[0-9,]*\])", hlo)
+    l_shaped = [s for s in ar_shapes if f"[{L},3]" in s or f"[{L},3,3]" in s]
+    # assembly (H_ll0, g_l) = at most a handful of per-iteration reductions;
+    # the 60-iteration PCG loop must contribute none
+    assert len(l_shaped) <= 4, (len(l_shaped), l_shaped[:8])
+
+
 def test_generic_shard_problem_fallback_matches_single_device():
     """The documented escape hatch for layouts that fail
     shard_blocked_problem's single-pass eligibility (sharding.py ValueError

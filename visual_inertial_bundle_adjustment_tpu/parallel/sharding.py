@@ -249,6 +249,78 @@ def _data_specs(cfg, data, ax):
     return specs
 
 
+def point_halo_plan(problem, n):
+    """PointHaloPlan for the blocked tile-sharded engine, or None when the
+    problem shape does not qualify (then the (L, 3) table rides a full psum
+    as before).
+
+    Qualifies when every point-coupled batch is blocked with bounded per-tile
+    point windows (single-pass eligible), tiles are sharded contiguously, and
+    each shard's touched point range overlaps only its neighbors' — true by
+    construction for time-sorted sessions (tracks live seconds, ids are
+    birth-ordered). SURVEY §7 step 8: landmarks assigned to their owning
+    keyframe block."""
+    from ..problem import factors as fct
+    from ..problem import rcs
+
+    L = int(problem.variables.points.shape[0])
+    lo = np.full(n, L, np.int64)
+    hi = np.zeros(n, np.int64)
+    any_blocked = False
+    for cfg, data in zip(problem.cfgs, problem.datas):
+        couples_points = any(
+            g == fct.POINTS for g, _ in fct.REGISTRY[cfg.kind]["tangents"])
+        info = getattr(cfg, "block_info", None)
+        if not couples_points:
+            continue
+        if info is None or info.prb2 == 0 or "_rg_hib" not in data:
+            return None  # point-coupled batch off the single-pass path
+        any_blocked = True
+        nt = info.nt
+        if nt % n:
+            return None
+        per = nt // n
+        # true nonzero support per shard: the actually-observed point ids
+        # (pad rows carry zero weight and contribute nothing)
+        ids = np.asarray(data["point"], np.int64).reshape(nt, -1)
+        pad = np.asarray(data["_pad"]).reshape(nt, -1) > 0.5
+        for s in range(n):
+            sl = slice(s * per, (s + 1) * per)
+            b = ids[sl][~pad[sl]]
+            if b.size == 0:
+                continue
+            lo[s] = min(lo[s], int(b.min()))
+            hi[s] = max(hi[s], int(b.max()) + 1)
+    if not any_blocked:
+        return None
+    hi = np.minimum(hi, L)
+    if np.any(hi <= lo):
+        return None  # a shard with no live point-coupled tiles
+    if not (np.all(np.diff(lo) >= 0) and np.all(np.diff(hi) >= 0)):
+        return None  # shards not time-ordered in point id
+    # ownership boundaries at the midpoint of each neighbor overlap
+    own = np.empty(n + 1, np.int64)
+    own[0], own[n] = 0, L
+    for s in range(1, n):
+        own[s] = int(np.clip((lo[s] + hi[s - 1]) // 2, lo[s], hi[s - 1] + 1)) \
+            if lo[s] <= hi[s - 1] else (hi[s - 1] + lo[s]) // 2
+    if not np.all(np.diff(own) > 0):
+        return None
+    # halo covers every shard's overflow past its ownership range
+    over = [max(own[s] - lo[s], 0) for s in range(n)] + \
+           [max(hi[s] - own[s + 1], 0) for s in range(n)]
+    halo = max(int(np.max(over)), 8)
+    halo = ((halo + 7) // 8) * 8
+    # adjacency: contributions must never reach beyond neighbor ownership,
+    # and owned widths must fit both halo update regions disjointly
+    if any(lo[s] < own[max(s - 1, 0)] or hi[s] > own[min(s + 2, n)]
+           for s in range(n)):
+        return None
+    if int(np.min(np.diff(own))) < 2 * halo:
+        return None
+    return rcs.PointHaloPlan(own, halo, n)
+
+
 def build_sharded_kernels(problem):
     """The Problem._build kernel tuple, with every factor-touching kernel
     wrapped in shard_map over the problem's mesh. Per-factor state never
@@ -268,6 +340,8 @@ def build_sharded_kernels(problem):
 
     mesh, ax = problem.mesh, problem.mesh_axis
     n = mesh.devices.size
+    pt_plan = point_halo_plan(problem, n)
+    problem.pt_plan = pt_plan  # introspectable (tests, dryrun accounting)
     ga = _active_groups(problem)
     cfgs_g = _resolved_cfgs(problem, ga)
     cfgs_l = tuple(
@@ -346,7 +420,7 @@ def build_sharded_kernels(problem):
             stored_cost=tuple(stored), valid0=tuple(valid0))
         asm = rcs.assemble(cfgs_l, datas, lg, v, masks, axis=ax)
         out = rcs.solve_assembled(asm, v, masks, lam, max_iters, rel_tol,
-                                  precond, axis=ax)
+                                  precond, axis=ax, pt_plan=pt_plan)
         x_r, x_l, model_red, pcg_rel, pcg_it, _, (g_r, g_l) = out
         step_r, step_l = t_scale(x_r, -1.0), -x_l
         v_new = retract(v, step_r, step_l, masks)
@@ -368,6 +442,7 @@ def build_sharded_kernels(problem):
         _t_spec, P(), P(), P(), P(), P(), (_t_spec, P()), vspec,
         (P(), P()), engine.CostStats(P(), P(), P(), P()), P(), P())
     _k_steps = {}
+    problem._k_steps = _k_steps  # introspectable (HLO-level tests)
 
     _last_precond = ["gauss_seidel"]
 
@@ -402,7 +477,7 @@ def build_sharded_kernels(problem):
         asm = rcs.assemble(cfgs_l, datas, lg, v, masks, axis=ax)
         rs = rcs.with_damping(asm, v, masks, lam, precond, ax)
         return rcs.solve_with_system(lg, v, rs, g_r, g_l, max_iters, rel_tol,
-                                     axis=ax)
+                                     axis=ax, pt_plan=pt_plan)
 
     _k_resolves = {}
 

@@ -867,6 +867,70 @@ def _maybe_psum(x, axis):
     return jax.tree_util.tree_map(lambda a: jax.lax.psum(a, axis), x)
 
 
+class PointHaloPlan:
+    """Landmark-table halo exchange (SURVEY §7 step 8 landmark shards).
+
+    Factor tiles are sharded as contiguous trajectory spans and landmark ids
+    are time-sorted, so each shard's contributions to the (L, 3) point table
+    fall in a contiguous range that overlaps only its NEIGHBOR shards'
+    ranges. Each shard owns rows [own_lo[i], own_lo[i+1]); contributions
+    beyond the ownership boundary (at most `halo` rows per side) ride two
+    ppermutes of (halo, 3) instead of a full-table psum — per-matvec
+    collective bytes are independent of total L. Static (host) object:
+    closed over by the shard_map trace, never crosses a jit boundary."""
+
+    def __init__(self, own_lo, halo: int, n_shards: int):
+        self.own_lo = jnp.asarray(own_lo, jnp.int32)  # (S+1,), [0]=0, [S]=L
+        self.halo = int(halo)
+        self.n = int(n_shards)
+
+    def bytes_per_matvec(self, itemsize=4, width=3):
+        return 4 * self.halo * width * itemsize  # 2 phases x 2 directions
+
+
+def _halo_reduce_points(t, axis, plan: PointHaloPlan):
+    """Complete the partial per-shard point sums on each shard's OWNED rows.
+    Rows outside ownership stay partial — _halo_fetch_points repairs the
+    halo after the per-point solve."""
+    H, S = plan.halo, plan.n
+    w = t.shape[1]
+    i = jax.lax.axis_index(axis)
+    lo = jnp.take(plan.own_lo, i)
+    hi = jnp.take(plan.own_lo, i + 1)
+    z0 = jnp.zeros((), lo.dtype)
+    # rows I contributed below my ownership -> left neighbor's owned tail
+    left = jax.lax.dynamic_slice(t, (lo - H, z0), (H, w))
+    recv_l = jax.lax.ppermute(left, axis, [(s, s - 1) for s in range(1, S)])
+    # rows I contributed above my ownership -> right neighbor's owned head
+    right = jax.lax.dynamic_slice(t, (hi, z0), (H, w))
+    recv_r = jax.lax.ppermute(right, axis, [(s, s + 1) for s in range(S - 1)])
+    # edge shards receive zeros (no pair targets them): adds are harmless
+    tail = jax.lax.dynamic_slice(t, (hi - H, z0), (H, w)) + recv_l
+    t = jax.lax.dynamic_update_slice(t, tail, (hi - H, z0))
+    head = jax.lax.dynamic_slice(t, (lo, z0), (H, w)) + recv_r
+    return jax.lax.dynamic_update_slice(t, head, (lo, z0))
+
+
+def _halo_fetch_points(z, axis, plan: PointHaloPlan):
+    """Overwrite each shard's halo rows (outside ownership) with the owning
+    neighbor's values, so downstream W y_l gathers read complete data."""
+    H, S = plan.halo, plan.n
+    w = z.shape[1]
+    i = jax.lax.axis_index(axis)
+    lo = jnp.take(plan.own_lo, i)
+    hi = jnp.take(plan.own_lo, i + 1)
+    z0 = jnp.zeros((), lo.dtype)
+    tail = jax.lax.dynamic_slice(z, (hi - H, z0), (H, w))  # my owned tail
+    head = jax.lax.dynamic_slice(z, (lo, z0), (H, w))  # my owned head
+    from_left = jax.lax.ppermute(tail, axis, [(s, s + 1) for s in range(S - 1)])
+    from_right = jax.lax.ppermute(head, axis, [(s, s - 1) for s in range(1, S)])
+    # guard edge shards: their clamped update offsets would clobber owned rows
+    z_l = jax.lax.dynamic_update_slice(z, from_left, (lo - H, z0))
+    z = jnp.where(i > 0, z_l, z)
+    z_r = jax.lax.dynamic_update_slice(z, from_right, (hi, z0))
+    return jnp.where(i < S - 1, z_r, z)
+
+
 def _rig_only_fast(b: VisBatch):
     """Batch qualifies for the single-pass rig-grid matvec: couples only rig
     variables, rig tiles have bounded point windows, and the point table
@@ -912,7 +976,7 @@ def _cal_scatter_back(b: VisBatch, y: dict, y_c):
     return y
 
 
-def matvec(rs: RcsSystem, v, x: Tangent, axis=None) -> Tangent:
+def matvec(rs: RcsSystem, v, x: Tangent, axis=None, pt_plan=None) -> Tangent:
     """S x = (H_rr + damping) x - W H_ll^-1 W^T x.
 
     Single pass per visual batch: wu = w * (J_r x) is computed ONCE and feeds
@@ -962,10 +1026,17 @@ def matvec(rs: RcsSystem, v, x: Tangent, axis=None) -> Tangent:
         t = t + hp_rest
     hx = _maybe_psum(jax.tree_util.tree_map(jnp.add, Tangent(**y), hx_rest),
                      axis)
-    t = _maybe_psum(t, axis)
     damped = jax.tree_util.tree_map(
         lambda h, d, xv: h + rs.lam * (d * xv) + rs.lam * xv, hx, rs.diag_r, x)
-    z = engine._chol_solve(rs.H_ll_inv, t)
+    if axis is not None and pt_plan is not None:
+        # landmark shards: neighbor-only halo exchange instead of the (L, 3)
+        # full-table psum — collective bytes independent of L
+        t = _halo_reduce_points(t, axis, pt_plan)
+        z = engine._chol_solve(rs.H_ll_inv, t)
+        z = _halo_fetch_points(z, axis, pt_plan)
+    else:
+        t = _maybe_psum(t, axis)
+        z = engine._chol_solve(rs.H_ll_inv, t)
     corr = w_y(rs, v, z, axis)
     return jax.tree_util.tree_map(jnp.subtract, damped, corr)
 
@@ -997,14 +1068,15 @@ def _apply_precond(rs: RcsSystem, r: Tangent) -> Tangent:
 # reduction order.
 
 
-def pcg(rs: RcsSystem, v, b: Tangent, max_iters: int, rel_tol, axis=None):
+def pcg(rs: RcsSystem, v, b: Tangent, max_iters: int, rel_tol, axis=None,
+        pt_plan=None):
     counts, dims, K = _pack_info(b)
     bp = pack_t(b, counts, dims, K)
     Pm = (pack_blocks(rs.precond_inv, counts, dims, K)
           if rs.precond_inv is not None else None)
 
     def mv(xp):
-        y = matvec(rs, v, unpack_t(xp, counts, dims, K), axis)
+        y = matvec(rs, v, unpack_t(xp, counts, dims, K), axis, pt_plan)
         return pack_t(y, counts, dims, K)
 
     def prec(rp):
@@ -1042,15 +1114,16 @@ def pcg(rs: RcsSystem, v, b: Tangent, max_iters: int, rel_tol, axis=None):
 
 
 def solve_assembled(asm: RcsAsm, v, masks, lam, max_iters=250, rel_tol=1e-10,
-                    precond="gauss_seidel", axis=None):
+                    precond="gauss_seidel", axis=None, pt_plan=None):
     """Per-lambda solve on a prebuilt assembly; `precond` picks the
     preconditioner family exactly as on the generic path
-    (engine.build_reduced_system)."""
+    (engine.build_reduced_system). The one-time point-table reductions here
+    stay full psums; only the per-PCG-iteration one uses the halo plan."""
     rs = with_damping(asm, v, masks, lam, precond, axis)
     g_r, g_l = asm.g_r, asm.g_l
     z = engine._chol_solve(rs.H_ll_inv, g_l)
     b = jax.tree_util.tree_map(jnp.subtract, g_r, w_y(rs, v, z, axis))
-    x_r, rel, iters = pcg(rs, v, b, max_iters, rel_tol, axis)
+    x_r, rel, iters = pcg(rs, v, b, max_iters, rel_tol, axis, pt_plan)
     x_l = engine._chol_solve(rs.H_ll_inv,
                              g_l - w_transpose_x(rs, v, x_r, axis))
     model_red = 0.5 * (t_dot(x_r, g_r) + jnp.vdot(x_l, g_l))
@@ -1065,9 +1138,9 @@ def solve_step(cfgs, datas, lg, v, masks, lam, max_iters=250, rel_tol=1e-10,
 
 
 def solve_with_system(lg, v, rs: RcsSystem, g_r, g_l, max_iters=250, rel_tol=1e-10,
-                      axis=None):
+                      axis=None, pt_plan=None):
     z = engine._chol_solve(rs.H_ll_inv, g_l)
     b = jax.tree_util.tree_map(jnp.subtract, g_r, w_y(rs, v, z, axis))
-    x_r, _, _ = pcg(rs, v, b, max_iters, rel_tol, axis)
+    x_r, _, _ = pcg(rs, v, b, max_iters, rel_tol, axis, pt_plan)
     x_l = engine._chol_solve(rs.H_ll_inv, g_l - w_transpose_x(rs, v, x_r, axis))
     return x_r, x_l
