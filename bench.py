@@ -91,6 +91,68 @@ def build_full_sensor_problem(tmpdir):
     return adapter.build()
 
 
+CAP_DURATION = 1800.0  # 30-minute capacity config (reference README.md:10-11)
+CAP_KEYFRAME_HZ = 6.0
+CAP_POINTS = 40000
+CAP_TIMED_ITERS = 3
+
+
+def build_capacity_problem():
+    """Config-5 shape: 30 minutes, ~10.8k rigs, 360 calibration windows,
+    finite-lifetime tracks, IMU calib random-walking — the capacity claim
+    of the reference (README.md:10-11) on ONE chip."""
+    from visual_inertial_bundle_adjustment_tpu.pipeline.builder import (
+        BuildOptions,
+        build_synthetic_problem,
+    )
+    from visual_inertial_bundle_adjustment_tpu.pipeline.synthetic import SyntheticSession
+
+    s = SyntheticSession(
+        duration=CAP_DURATION, keyframe_hz=CAP_KEYFRAME_HZ, gyro_hz=150.0,
+        accel_hz=150.0, num_points=CAP_POINTS, seed=31, pixel_noise=0.3,
+        track_lifetime_sec=12.0,
+    )
+    return build_synthetic_problem(
+        s,
+        BuildOptions(
+            init_pose_noise=0.005, init_point_noise=0.03, init_vel_noise=0.03,
+            estimate_imu_calib=True,
+            imu_calib_options=dict(accelBias=True, gyroBias=True),
+        ),
+    )
+
+
+def _device_peak_hbm_gb():
+    import jax
+
+    try:
+        stats = jax.devices()[0].memory_stats()
+        for key in ("peak_bytes_in_use", "bytes_in_use"):
+            if stats and key in stats:
+                return round(stats[key] / 2**30, 3)
+    except Exception:  # noqa: BLE001
+        pass
+    return None
+
+
+def run_capacity():
+    try:
+        _note("building 30-min capacity problem...")
+        problem = build_capacity_problem()
+        n_obs = sum(
+            int(d["rig"].shape[0]) for c, d in zip(problem.cfgs, problem.datas)
+            if c.kind in ("visual", "rs_visual"))
+        _note(f"capacity: {int(problem.variables.pose_q.shape[0])} rigs, "
+              f"{n_obs} obs; timing...")
+        ips, _ = timed_iterations(problem, CAP_TIMED_ITERS)
+        hbm = _device_peak_hbm_gb()
+        _note(f"capacity 30-min: {ips:.3f} iters/s, peak HBM {hbm} GB")
+        return ips, hbm
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"capacity config failed: {e}\n")
+        return None, None
+
+
 def timed_iterations(problem, n_iters, pcg_iters=40):
     import jax
     import jax.numpy as jnp
@@ -200,6 +262,7 @@ def run_full_sensor():
 def main():
     ips = run_device()
     full_ips = run_full_sensor()
+    cap_ips, cap_hbm = run_capacity()
     _note("running CPU reference-direct baseline...")
     ref_ips = run_cpu_reference()
     _note("running CPU same-algorithm baseline...")
@@ -216,6 +279,10 @@ def main():
                     "full_sensor_10min_iters_per_sec": (
                         round(full_ips, 4) if full_ips else None
                     ),
+                    "capacity_30min_iters_per_sec": (
+                        round(cap_ips, 4) if cap_ips else None
+                    ),
+                    "capacity_30min_peak_hbm_gb": cap_hbm,
                     "cpu_reference_direct_iters_per_sec": (
                         round(ref_ips, 4) if ref_ips else None
                     ),

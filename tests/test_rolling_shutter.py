@@ -159,5 +159,50 @@ def test_pipeline_readout_recovery(tmp_path):
     assert np.abs(readouts).max() < 0.015, f"readouts {readouts}"
 
 
+def test_segment_lookup_matches_searchsorted():
+    """The 3-row-gather bucketed lookup must reproduce exact
+    searchsorted(side='right') semantics on ragged +inf-padded tables,
+    including out-of-range queries (validity flag = the reference's
+    out-of-range throw, RollingShutterData.cpp:83-91)."""
+    import jax.numpy as jnp
+
+    from visual_inertial_bundle_adjustment_tpu.ops import rolling_shutter as rs
+
+    rng = np.random.default_rng(4)
+    R, K, N = 23, 57, 4000
+    counts = rng.integers(3, K + 1, R)
+    dt = np.full((R, K), np.inf)
+    for r in range(R):
+        # irregular ascending boundaries (jittered spacing)
+        steps = rng.random(counts[r]) * 0.01 + 1e-4
+        dt[r, : counts[r]] = np.cumsum(steps) - 0.03
+    rows = rng.integers(0, R, N)
+    t = rng.random(N) * 0.08 - 0.05  # covers in/out of range both sides
+
+    tables = rs.RSTables(
+        dt=jnp.asarray(dt),
+        q=jnp.asarray(rng.standard_normal((R, K, 4))),
+        dV=jnp.asarray(rng.standard_normal((R, K, 3))),
+        dP=jnp.asarray(rng.standard_normal((R, K, 3))),
+        i_gyro=jnp.asarray(rng.standard_normal((R, K, 3))),
+        i_accel=jnp.asarray(rng.standard_normal((R, K, 3))),
+        i_dvel=jnp.asarray(rng.standard_normal((R, K, 3))),
+        count=jnp.asarray(counts, jnp.int32),
+        gravity_w=jnp.asarray([0.0, 0.0, -9.81]),
+    )
+    out = rs.rs_segment_lookup(tables, jnp.asarray(rows), jnp.asarray(t))
+
+    idx_ref = np.array([np.searchsorted(dt[r], tv, side="right")
+                        for r, tv in zip(rows, t)])
+    valid_ref = (idx_ref > 0) & (idx_ref < counts[rows])
+    np.testing.assert_array_equal(np.asarray(out["seg_valid"]), valid_ref)
+    seg_ref = np.clip(idx_ref - 1, 0, K - 1)
+    np.testing.assert_allclose(
+        np.asarray(out["seg_q"]), tables.q[rows, seg_ref], rtol=0, atol=0)
+    dt_ref = dt[rows, seg_ref]
+    np.testing.assert_allclose(
+        np.asarray(out["seg_dt"]), np.where(np.isfinite(dt_ref), dt_ref, 0.0))
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])

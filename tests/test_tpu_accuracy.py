@@ -135,6 +135,49 @@ def test_fused_visual_linearizer_matches_generic():
     assert checked, "no blocked visual batch with the fused hook was built"
 
 
+def test_fused_rs_linearizer_matches_generic():
+    """ops/rs_fused.py (in-kernel segment lookup + reverse-mode AD inside
+    the Pallas kernel) vs the generic jacrev path on a full-sensor session
+    (tools_dev/check_rs_fused folded into pytest)."""
+    import sys
+
+    sys.path.insert(0, "tools_dev")
+    from profile_full_sensor import build
+
+    from visual_inertial_bundle_adjustment_tpu.problem import factors as fct
+
+    problem = build(60.0, 2000)
+    problem._build()
+    v, masks = problem.variables, problem.masks
+    checked = 0
+    for cfg, data in zip(problem.cfgs, problem.datas):
+        if cfg.kind != "rs_visual" or not getattr(cfg, "block_info", None):
+            continue
+        cfg = dataclasses.replace(cfg, active_groups=tuple(
+            g for g, _ in fct.REGISTRY[cfg.kind]["tangents"]))
+        lin_f = jax.jit(lambda d: fct.linearize_batch(cfg, d, v, masks))(data)
+        data_g = {k: a for k, a in data.items() if k != "_uvT"}
+        lin_g = jax.jit(lambda d: fct.linearize_batch(cfg, d, v, masks))(data_g)
+        assert lin_f.groups == lin_g.groups
+        real = np.asarray(data["_pad"]) < 0.5
+        ok = (np.asarray(lin_g.valid) > 0.5) & real
+
+        def rel_err(a, b):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            return np.abs(a - b).max() / (np.abs(b).max() + 1e-30)
+
+        assert rel_err(np.asarray(lin_f.res)[:, ok],
+                       np.asarray(lin_g.res)[:, ok]) < 1e-4
+        np.testing.assert_array_equal(np.asarray(lin_f.valid)[real],
+                                      np.asarray(lin_g.valid)[real])
+        for g, Jf, Jg in zip(lin_f.groups, lin_f.jac, lin_g.jac):
+            assert rel_err(np.asarray(Jf)[..., ok],
+                           np.asarray(Jg)[..., ok]) < 3e-4, g
+        checked += 1
+    assert checked, "no blocked rs_visual batch was built"
+
+
 def _tile_plan(rng, n_rows, n_obs, rb, ts):
     """Random sorted keys + ragged tile plan with 8-aligned bases
     (mirrors rcs._tile_plan; from tools_dev/check_table_kernels)."""

@@ -244,11 +244,20 @@ def se3_apply(T, p):
     return quat_rotate(q, p) + t
 
 
+def _mv3(M, x):
+    """Exact (..., 3, 3) @ (..., 3) as an elementwise contraction: a bare
+    einsum under vmap lowers to a batched MXU dot at DEFAULT precision on
+    TPU, silently rounding operands to bf16 (~2e-3 relative error measured
+    on boxplus translation Jacobian columns); the VPU form stays f32-exact
+    and is faster for 3-dim products anyway."""
+    return jnp.sum(M * x[..., None, :], axis=-1)
+
+
 def se3_exp(xi):
     """Tangent (..., 6) [v, w] -> SE(3) via the full exponential: t = J_l(w) v."""
     v, w = xi[..., :3], xi[..., 3:]
     q = so3_exp(w)
-    t = jnp.einsum("...ij,...j->...i", so3_left_jacobian(w), v)
+    t = _mv3(so3_left_jacobian(w), v)
     return q, t
 
 
@@ -256,7 +265,7 @@ def se3_log(T):
     """SE(3) -> tangent (..., 6) [v, w]."""
     q, t = T
     w = so3_log(q)
-    v = jnp.einsum("...ij,...j->...i", so3_left_jacobian_inverse(w), t)
+    v = _mv3(so3_left_jacobian_inverse(w), t)
     return jnp.concatenate([v, w], axis=-1)
 
 
@@ -372,7 +381,7 @@ def s2_boxplus(vec, radius, step):
         angle > 1e-4, jnp.tan(angle) / _safe(angle), 1.0 + angle * angle / 3.0
     )
     basis = s2_ortho(vec)  # (..., 2, 3)
-    moved = vec + jnp.einsum("...ij,...i->...j", basis, factor[..., None] * step)
+    moved = vec + jnp.sum(basis * (factor[..., None] * step)[..., :, None], axis=-2)
     return moved / jnp.linalg.norm(moved, axis=-1, keepdims=True) * radius
 
 
@@ -384,4 +393,4 @@ def s2_boxminus(vec, base, radius):
     angle = 2.0 * jnp.arcsin(jnp.clip(_safe_vecnorm(dv) * 0.5, 0.0, 1.0))
     factor = 1.0 / jnp.cos(angle)
     basis = s2_ortho(base)
-    return factor[..., None] * jnp.einsum("...ij,...j->...i", basis, dv) * radius
+    return factor[..., None] * _mv3(basis, dv) * radius

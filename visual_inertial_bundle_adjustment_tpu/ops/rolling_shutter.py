@@ -145,38 +145,52 @@ def rs_segment_lookup(tables: RSTables, rows, t_delta):
     (N, K) per-observation table gathers the naive formulation needs (at
     778k observations x K~200 samples those are multi-GB arrays).
 
-    Binary-searches each row's dt boundaries with log2(K) single-element
-    gathers, then gathers exactly one segment (17 floats/obs). The segment
+    Two-level bucketed search + packed payload = THREE row gathers total
+    (TPU gathers are row-latency-bound; the former log2(K)-iteration binary
+    search plus 7 per-field gathers was ~15 and dominated the fused RS
+    kernel's runtime 12:1). Level 1 gathers every-16th boundary (N, ceil(K/16)),
+    a vectorized count picks the bucket; level 2 gathers that bucket's 16
+    boundaries; the payload rides one (N, 21) gather of the packed segment
+    table. Semantics identical to searchsorted(side="right"). The segment
     choice is made at the CURRENT readout/time-offset estimates and treated
     as locally constant under AD — exact a.e., matching the reference's
     re-query-per-evaluation semantics (RollingShutterData.cpp:70-113)."""
-    import math
-
-    K = tables.dt.shape[1]
-    n = rows.shape[0]
+    R, K = tables.dt.shape
     rows = rows.astype(jnp.int32)
-    flat_dt = tables.dt.reshape(-1)
-    lo = jnp.zeros(n, jnp.int32)
-    hi = jnp.full(n, K, jnp.int32)
-    for _ in range(max(1, math.ceil(math.log2(K)))):
-        mid = (lo + hi) // 2
-        vals = flat_dt[rows * K + mid]
-        go_right = vals <= t_delta  # side="right": first index with dt > t
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    idx = lo
-    valid = (idx > 0) & (idx < tables.count[rows])
+    B = 16
+    L1 = -(-K // B)
+    dt_pad = jnp.pad(tables.dt, ((0, 0), (0, L1 * B + 1 - K)),
+                     constant_values=jnp.inf)
+    # level 1: dt at bucket boundaries (j*B); bucket = #{j : dt[jB] <= t} - 1
+    coarse = jnp.take(dt_pad[:, ::B][:, :L1], rows, axis=0)  # (N, L1)
+    cb = jnp.sum((coarse <= t_delta[:, None]).astype(jnp.int32), axis=1) - 1
+    cb = jnp.clip(cb, 0, L1 - 1)
+    # level 2: boundaries (cb*B+1 .. cb*B+B); idx = cb*B + 1 + #{w <= t}
+    fine_tab = dt_pad[:, 1:L1 * B + 1].reshape(R * L1, B)
+    w = jnp.take(fine_tab, rows * L1 + cb, axis=0)  # (N, B)
+    idx = cb * B + 1 + jnp.sum((w <= t_delta[:, None]).astype(jnp.int32),
+                               axis=1)
+    # rows whose t precedes even dt[0] keep idx = 0 (invalid below)
+    idx = jnp.where(coarse[:, 0] <= t_delta, idx, 0)
+    valid = (idx > 0) & (idx < jnp.take(tables.count, rows))
     seg = jnp.clip(idx - 1, 0, K - 1)
-    fl = rows * K + seg
-    dt = flat_dt[fl]
+    # payload: ONE row gather of the packed (R*K, 21) segment table
+    packed = jnp.concatenate([
+        tables.dt[..., None], tables.q, tables.dV, tables.dP,
+        tables.i_gyro, tables.i_accel, tables.i_dvel,
+        jnp.broadcast_to(tables.count[:, None, None].astype(tables.dt.dtype),
+                         (R, K, 1)),
+    ], axis=-1).reshape(R * K, 21)
+    seg_row = jnp.take(packed, rows * K + seg, axis=0)  # (N, 21)
+    dt = seg_row[:, 0]
     return dict(
         seg_dt=jnp.where(jnp.isfinite(dt), dt, 0.0),
-        seg_q=tables.q.reshape(-1, 4)[fl],
-        seg_dv=tables.dV.reshape(-1, 3)[fl],
-        seg_dp=tables.dP.reshape(-1, 3)[fl],
-        seg_ig=tables.i_gyro.reshape(-1, 3)[fl],
-        seg_ia=tables.i_accel.reshape(-1, 3)[fl],
-        seg_idv=tables.i_dvel.reshape(-1, 3)[fl],
+        seg_q=seg_row[:, 1:5],
+        seg_dv=seg_row[:, 5:8],
+        seg_dp=seg_row[:, 8:11],
+        seg_ig=seg_row[:, 11:14],
+        seg_ia=seg_row[:, 14:17],
+        seg_idv=seg_row[:, 17:20],
         seg_valid=valid,
     )
 

@@ -737,6 +737,15 @@ def residual_batch(cfg: BatchCfg, data, v: VariableTables):
         if out is not None:
             res, valid = out
             return res.T, valid  # residual_batch contract: res (N, d)
+    if (cfg.kind == "rs_visual" and getattr(cfg, "block_info", None)
+            and "_uvT" in data):
+        from ..ops import rs_fused
+
+        out = rs_fused.residual_rs_fused(
+            cfg.camera_kind, data, v, cfg.block_info)
+        if out is not None:
+            res, valid = out
+            return res.T, valid
 
     spec = REGISTRY[cfg.kind]
     args = spec["args"](v, data)
@@ -777,6 +786,35 @@ def linearize_batch(cfg: BatchCfg, data, v: VariableTables, masks: Masks) -> Lin
             return Lin(res=res, valid=valid, groups=(POINTS, RIG),
                        idx=(data["point"], data["rig"]), jac=(J_pt, J_r),
                        ell=(data.get("_ell0"), data.get("_ell1")))
+    # fused Pallas path for rolling-shutter batches: the full RS chain
+    # (segment interpolation + capture-time pose shift + projection) with
+    # in-kernel reverse-mode Jacobians for point/pose/vel(/extr/intr)
+    # (ops/rs_fused) — the full-sensor hot path
+    if (cfg.kind == "rs_visual" and getattr(cfg, "block_info", None)
+            and "_uvT" in data and cfg.active_groups is not None
+            and set(cfg.active_groups) in (
+                {POINTS, RIG}, {POINTS, RIG, CAM_EXTR, CAM_INTR})):
+        from ..ops import rs_fused
+
+        with_cal = CAM_INTR in cfg.active_groups
+        out = rs_fused.linearize_rs_fused(
+            cfg.camera_kind, data, v, masks, cfg.block_info, with_cal)
+        if out is not None:
+            if with_cal:
+                res, valid, J_pt, J_r, J_cal = out
+                return Lin(
+                    res=res, valid=valid,
+                    groups=(POINTS, RIG, CAM_EXTR, CAM_INTR),
+                    idx=(data["point"], data["rig"], data["extr"],
+                         data["intr"]),
+                    jac=(J_pt, J_r,
+                         jax.lax.slice_in_dim(J_cal, 0, 6, axis=1),
+                         jax.lax.slice_in_dim(J_cal, 6, 23, axis=1)),
+                    ell=(None, None, None, None))
+            res, valid, J_pt, J_r = out
+            return Lin(res=res, valid=valid, groups=(POINTS, RIG),
+                       idx=(data["point"], data["rig"]), jac=(J_pt, J_r),
+                       ell=(None, None))
 
     spec = REGISTRY[cfg.kind]
     args = spec["args"](v, data)
