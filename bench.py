@@ -132,6 +132,17 @@ def _device_peak_hbm_gb():
                 return round(stats[key] / 2**30, 3)
     except Exception:  # noqa: BLE001
         pass
+    try:
+        # tunneled devices expose no memory_stats: report live array bytes
+        # (a floor on residency, not a true peak)
+        dev = jax.devices()[0]
+        live = sum(
+            x.nbytes for x in jax.live_arrays()
+            if any(d == dev for d in getattr(x, "devices", lambda: [])()))
+        if live:
+            return round(live / 2**30, 3)
+    except Exception:  # noqa: BLE001
+        pass
     return None
 
 
@@ -253,16 +264,48 @@ def run_full_sensor():
         _note("timing full-sensor iterations...")
         ips, _ = timed_iterations(problem, FULL_TIMED_ITERS)
         _note(f"full-sensor: {ips:.3f} iters/s")
-        return ips
+        return ips, problem
     except Exception as e:  # noqa: BLE001
         sys.stderr.write(f"full-sensor config failed: {e}\n")
+        return None, None
+
+
+def run_full_sensor_cpu(problem):
+    """Same algorithm, same problem, host CPU backend — the full-sensor
+    counterpart of cpu_same_algorithm (VERDICT r2 item 2: a CPU ratio must
+    exist for the full-sensor config, not just the easy workload). Reuses
+    the already-built problem by moving its arrays to the CPU device
+    in-process. Disable with VIBA_BENCH_FULL_CPU=0 (adds ~10 min: one CPU
+    compile + one ~2-minute iteration)."""
+    if problem is None or os.environ.get("VIBA_BENCH_FULL_CPU", "1") == "0":
+        return None
+    try:
+        import jax
+
+        cpu = jax.local_devices(backend="cpu")[0]
+        if jax.devices()[0] == cpu:
+            return None  # already a CPU run; the ratio is 1 by construction
+        _note("timing full-sensor on host CPU (same algorithm)...")
+        put = lambda t: jax.device_put(jax.device_get(t), cpu)  # noqa: E731
+        problem.datas = [put(d) for d in problem.datas]
+        problem.variables = put(problem.variables)
+        problem.masks = put(problem.masks)
+        problem._jits = None
+        with jax.default_device(cpu):
+            ips, _ = timed_iterations(problem, 1)
+        _note(f"full-sensor CPU: {ips:.4f} iters/s")
+        return ips
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"full-sensor CPU baseline failed: {e}\n")
         return None
 
 
 def main():
     ips = run_device()
-    full_ips = run_full_sensor()
+    full_ips, full_problem = run_full_sensor()
     cap_ips, cap_hbm = run_capacity()
+    full_cpu_ips = run_full_sensor_cpu(full_problem)
+    del full_problem
     _note("running CPU reference-direct baseline...")
     ref_ips = run_cpu_reference()
     _note("running CPU same-algorithm baseline...")
@@ -283,6 +326,13 @@ def main():
                         round(cap_ips, 4) if cap_ips else None
                     ),
                     "capacity_30min_peak_hbm_gb": cap_hbm,
+                    "full_sensor_cpu_same_algorithm_iters_per_sec": (
+                        round(full_cpu_ips, 5) if full_cpu_ips else None
+                    ),
+                    "full_sensor_vs_cpu": (
+                        round(full_ips / full_cpu_ips, 1)
+                        if full_ips and full_cpu_ips else None
+                    ),
                     "cpu_reference_direct_iters_per_sec": (
                         round(ref_ips, 4) if ref_ips else None
                     ),
