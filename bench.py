@@ -184,8 +184,13 @@ def timed_iterations(problem, n_iters, pcg_iters=40):
         v2, stats = out[7], out[9]
         return v2, stats
 
-    # warmup/compile
+    # warmup/compile — TWO chained calls: the first compiles at the
+    # fresh-variables signature, the second at the jit-output signature the
+    # chained loop actually runs on (layouts differ; a single warmup leaves
+    # a ~40 s remote recompile INSIDE the timed window — this was the
+    # source of the bogus 0.085 iters/s full-sensor number in BENCH_r02)
     v2, stats = one_iter(v)
+    v2, stats = one_iter(v2)
     jax.block_until_ready((v2, stats))
     t0 = time.time()
     for _ in range(n_iters):
@@ -286,13 +291,19 @@ def run_full_sensor_cpu(problem):
         if jax.devices()[0] == cpu:
             return None  # already a CPU run; the ratio is 1 by construction
         _note("timing full-sensor on host CPU (same algorithm)...")
+        from visual_inertial_bundle_adjustment_tpu.ops import segments as seg
+
         put = lambda t: jax.device_put(jax.device_get(t), cpu)  # noqa: E731
         problem.datas = [put(d) for d in problem.datas]
         problem.variables = put(problem.variables)
         problem.masks = put(problem.masks)
         problem._jits = None
-        with jax.default_device(cpu):
-            ips, _ = timed_iterations(problem, 1)
+        seg.FORCE_XLA = True  # Pallas kernels cannot trace for CPU execution
+        try:
+            with jax.default_device(cpu):
+                ips, _ = timed_iterations(problem, 1)
+        finally:
+            seg.FORCE_XLA = False
         _note(f"full-sensor CPU: {ips:.4f} iters/s")
         return ips
     except Exception as e:  # noqa: BLE001

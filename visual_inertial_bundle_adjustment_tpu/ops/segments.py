@@ -34,9 +34,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Explicit opt-out for CPU execution inside a TPU process (e.g. a CPU
+# baseline via jax.default_device(cpu)): trace-time code cannot see the
+# eventual placement of tracers, so callers running on a non-default
+# backend set this before (re)tracing their kernels.
+FORCE_XLA = False
+
+
 def use_pallas(*arrays) -> bool:
     """Pallas path: TPU backend and no f64 operands (Mosaic has no f64)."""
-    if jax.default_backend() != "tpu":
+    if FORCE_XLA or jax.default_backend() != "tpu":
         return False
     return all(a.dtype != jnp.float64 for a in arrays)
 

@@ -387,8 +387,14 @@ class SessionAdapter:
         self._add_omega_priors(problem)
         # setup-path outputs computed on the CPU backend (_setup_ctx) land on
         # the accelerator here, in one transfer pass, so per-iteration jitted
-        # calls never re-upload host arrays
+        # calls never re-upload host arrays. Variables/masks are COMMITTED
+        # too: jit keys executables on the committed bit, and the LM loop
+        # chains jit-output (committed) variables — an uncommitted initial
+        # table costs a full second compile of every kernel on iteration 2
+        # (~40 s/kernel through a remote compiler).
         problem.datas = [_put_default(d) for d in problem.datas]
+        problem.variables = _put_default(problem.variables)
+        problem.masks = _put_default(problem.masks)
         return problem
 
     # -- masks ---------------------------------------------------------------

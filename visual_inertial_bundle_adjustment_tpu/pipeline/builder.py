@@ -161,4 +161,13 @@ def build_synthetic_problem(s: SyntheticSession, opts: BuildOptions = None) -> P
             "sqrt_info": sqrt_info,
         },
     )
+    # commit tables to the device: jit keys executables on the committed
+    # bit, and the LM loop chains jit-output (committed) variables — an
+    # uncommitted initial table costs a second compile of every kernel on
+    # iteration 2 (pipeline/adapter.py build() does the same)
+    from .adapter import _put_default
+
+    problem.variables = _put_default(problem.variables)
+    problem.masks = _put_default(problem.masks)
+    problem.datas = [_put_default(d) for d in problem.datas]
     return problem
