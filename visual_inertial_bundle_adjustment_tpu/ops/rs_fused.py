@@ -330,6 +330,21 @@ def _run_rs(camera_kind, data, v, masks, info, with_jac, with_cal):
     nhw = info.prb2 // 128
     N = nt * ts
     dtype = v.points.dtype
+    # this kernel's in-kernel-AD live set overflows the 16 MiB scoped-VMEM
+    # stack at ts=4096, but the OTHER kernels sharing this layout (Schur
+    # matvec family) run best on coarse tiles — so subdivide each layout
+    # tile into sub-tiles here: sub-tile b of tile i keeps tile i's rig/
+    # window bases (spans only shrink), and the flat per-observation arrays
+    # reshape without any data movement
+    RS_TS = 1024
+    if ts > RS_TS:
+        sub = ts // RS_TS
+        nt, ts = nt * sub, RS_TS
+        rbases = jnp.repeat(data["_rb_base"].astype(jnp.int32), sub)
+        hibs = jnp.repeat(data["_rg_hib"].astype(jnp.int32), sub)
+    else:
+        rbases = data["_rb_base"].astype(jnp.int32)
+        hibs = data["_rg_hib"].astype(jnp.int32)
 
     rig_mask = (masks.rig[:, :9].astype(dtype) if masks is not None
                 else jnp.ones((v.pose_q.shape[0], 9), dtype))
@@ -402,8 +417,8 @@ def _run_rs(camera_kind, data, v, masks, info, with_jac, with_cal):
         ),
         out_shape=tuple(out_shape),
     )(
-        data["_rb_base"].astype(jnp.int32),
-        data["_rg_hib"].astype(jnp.int32),
+        rbases,
+        hibs,
         data["_rb_local"].reshape(nt, 1, ts).astype(jnp.int32),
         data["_rg_pt_local"].reshape(nt, 1, ts).astype(jnp.int32),
         data["intr"].reshape(nt, 1, ts).astype(jnp.int32),

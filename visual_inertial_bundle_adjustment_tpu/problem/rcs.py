@@ -137,23 +137,17 @@ def _tile_plan(key_sorted, rb, ts):
 
 
 def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096,
-                    prb2_cap: int = 4096, nhg_cap: int = 2048,
-                    rs_ts: int = 1024):
+                    prb2_cap: int = 4096, nhg_cap: int = 2048):
     """Reorder visual-family batches by rig, lay them out in ragged tiles,
     and attach the point-grid permutation. Mutates problem.{cfgs,datas}
     (host, one-time — the TPU analog of BaSpaCho's symbolic analysis).
-
-    rs_visual batches tile at rs_ts <= ts: the fused RS linearizer's
-    in-kernel AD graph (ops/rs_fused) holds ~3x the live lane vectors of the
-    plain-visual kernel and overflows the 16 MiB scoped-VMEM stack at
-    ts=4096."""
+    The fused RS linearizer subdivides these tiles internally (ops/rs_fused
+    RS_TS) to fit its in-kernel AD live set in scoped VMEM."""
     R = int(problem.variables.pose_q.shape[0])
     L = int(problem.variables.points.shape[0])
-    full_ts = ts
     for bi, (cfg, data) in enumerate(zip(problem.cfgs, problem.datas)):
         if cfg.kind not in VISUAL_KINDS or getattr(cfg, "block_info", None):
             continue
-        ts = min(full_ts, rs_ts) if cfg.kind == "rs_visual" else full_ts
         rig = np.asarray(data["rig"])
         pt = np.asarray(data["point"])
         if len(rig) < 4 * ts:
