@@ -150,7 +150,7 @@ def rs_segment_lookup(tables: RSTables, rows, t_delta):
     search plus 7 per-field gathers was ~15 and dominated the fused RS
     kernel's runtime 12:1). Level 1 gathers every-16th boundary (N, ceil(K/16)),
     a vectorized count picks the bucket; level 2 gathers that bucket's 16
-    boundaries; the payload rides one (N, 21) gather of the packed segment
+    boundaries; the payload rides one (N, 20) gather of the packed segment
     table. Semantics identical to searchsorted(side="right"). The segment
     choice is made at the CURRENT readout/time-offset estimates and treated
     as locally constant under AD — exact a.e., matching the reference's
@@ -174,14 +174,13 @@ def rs_segment_lookup(tables: RSTables, rows, t_delta):
     idx = jnp.where(coarse[:, 0] <= t_delta, idx, 0)
     valid = (idx > 0) & (idx < jnp.take(tables.count, rows))
     seg = jnp.clip(idx - 1, 0, K - 1)
-    # payload: ONE row gather of the packed (R*K, 21) segment table
+    # payload: ONE row gather of the packed (R*K, 20) segment table
+    # (validity already used tables.count above — no count column needed)
     packed = jnp.concatenate([
         tables.dt[..., None], tables.q, tables.dV, tables.dP,
         tables.i_gyro, tables.i_accel, tables.i_dvel,
-        jnp.broadcast_to(tables.count[:, None, None].astype(tables.dt.dtype),
-                         (R, K, 1)),
-    ], axis=-1).reshape(R * K, 21)
-    seg_row = jnp.take(packed, rows * K + seg, axis=0)  # (N, 21)
+    ], axis=-1).reshape(R * K, 20)
+    seg_row = jnp.take(packed, rows * K + seg, axis=0)  # (N, 20)
     dt = seg_row[:, 0]
     return dict(
         seg_dt=jnp.where(jnp.isfinite(dt), dt, 0.0),

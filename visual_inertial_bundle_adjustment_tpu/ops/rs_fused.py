@@ -337,6 +337,8 @@ def _run_rs(camera_kind, data, v, masks, info, with_jac, with_cal):
     # window bases (spans only shrink), and the flat per-observation arrays
     # reshape without any data movement
     RS_TS = 1024
+    if ts > RS_TS and ts % RS_TS:
+        return None  # non-multiple tile size: fall back to the generic path
     if ts > RS_TS:
         sub = ts // RS_TS
         nt, ts = nt * sub, RS_TS

@@ -26,14 +26,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def _shard_map_compat():
     """shard_map with the replication-check kwarg normalized across JAX
     versions: jax>=0.8 `jax.shard_map` takes `check_vma`, the older
-    `jax.experimental.shard_map.shard_map` takes `check_rep`. Call sites
-    always pass `check_rep=` and we translate."""
+    `jax.experimental.shard_map.shard_map` takes `check_rep`. The kwarg is
+    picked by signature inspection (not by which import succeeds — on
+    intermediate versions jax.shard_map exists but still takes check_rep).
+    Call sites always pass `check_rep=` and we translate."""
+    import inspect
+
     try:
         from jax import shard_map as _impl
-        check_kw = "check_vma"
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map as _impl
-        check_kw = "check_rep"
+    try:
+        params = inspect.signature(_impl).parameters
+        check_kw = "check_vma" if "check_vma" in params else "check_rep"
+    except (TypeError, ValueError):  # signature unavailable: assume modern
+        check_kw = "check_vma"
 
     def wrapped(fn, *, mesh, in_specs, out_specs, check_rep=False):
         return _impl(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -249,10 +256,11 @@ def _data_specs(cfg, data, ax):
     return specs
 
 
-def point_halo_plan(problem, n):
+def point_halo_plan(problem, n, log=None):
     """PointHaloPlan for the blocked tile-sharded engine, or None when the
     problem shape does not qualify (then the (L, 3) table rides a full psum
-    as before).
+    as before — and the failed check is logged, so a real session that
+    silently pays the full-psum cost is at least visible).
 
     Qualifies when every point-coupled batch is blocked with bounded per-tile
     point windows (single-pass eligible), tiles are sharded contiguously, and
@@ -263,6 +271,13 @@ def point_halo_plan(problem, n):
     from ..problem import factors as fct
     from ..problem import rcs
 
+    def bail(reason):
+        problem.halo_bailout = reason
+        (log or print)(f"point_halo_plan: disabled — {reason}; "
+                       "landmark table falls back to full per-matvec psum")
+        return None
+
+    problem.halo_bailout = None
     L = int(problem.variables.points.shape[0])
     lo = np.full(n, L, np.int64)
     hi = np.zeros(n, np.int64)
@@ -274,11 +289,12 @@ def point_halo_plan(problem, n):
         if not couples_points:
             continue
         if info is None or info.prb2 == 0 or "_rg_hib" not in data:
-            return None  # point-coupled batch off the single-pass path
+            return bail(f"point-coupled batch '{cfg.label or cfg.kind}' is "
+                        "off the single-pass path")
         any_blocked = True
         nt = info.nt
         if nt % n:
-            return None
+            return bail(f"tile count {nt} not divisible by {n} shards")
         per = nt // n
         # true nonzero support per shard: the actually-observed point ids
         # (pad rows carry zero weight and contribute nothing)
@@ -292,12 +308,12 @@ def point_halo_plan(problem, n):
             lo[s] = min(lo[s], int(b.min()))
             hi[s] = max(hi[s], int(b.max()) + 1)
     if not any_blocked:
-        return None
+        return bail("no blocked point-coupled batches")
     hi = np.minimum(hi, L)
     if np.any(hi <= lo):
-        return None  # a shard with no live point-coupled tiles
+        return bail("a shard touches no points")
     if not (np.all(np.diff(lo) >= 0) and np.all(np.diff(hi) >= 0)):
-        return None  # shards not time-ordered in point id
+        return bail("shard point ranges not time-ordered")
     # ownership boundaries at the midpoint of each neighbor overlap
     own = np.empty(n + 1, np.int64)
     own[0], own[n] = 0, L
@@ -305,7 +321,7 @@ def point_halo_plan(problem, n):
         own[s] = int(np.clip((lo[s] + hi[s - 1]) // 2, lo[s], hi[s - 1] + 1)) \
             if lo[s] <= hi[s - 1] else (hi[s - 1] + lo[s]) // 2
     if not np.all(np.diff(own) > 0):
-        return None
+        return bail("degenerate ownership boundaries (a shard owns 0 rows)")
     # halo covers every shard's overflow past its ownership range
     over = [max(own[s] - lo[s], 0) for s in range(n)] + \
            [max(hi[s] - own[s + 1], 0) for s in range(n)]
@@ -315,9 +331,11 @@ def point_halo_plan(problem, n):
     # and owned widths must fit both halo update regions disjointly
     if any(lo[s] < own[max(s - 1, 0)] or hi[s] > own[min(s + 2, n)]
            for s in range(n)):
-        return None
+        return bail("a shard's points reach beyond neighbor ownership "
+                    "(non-adjacent coupling)")
     if int(np.min(np.diff(own))) < 2 * halo:
-        return None
+        return bail(f"ownership width {int(np.min(np.diff(own)))} < "
+                    f"2x halo {halo} (too few points per shard)")
     return rcs.PointHaloPlan(own, halo, n)
 
 
@@ -444,12 +462,9 @@ def build_sharded_kernels(problem):
     _k_steps = {}
     problem._k_steps = _k_steps  # introspectable (HLO-level tests)
 
-    _last_precond = ["gauss_seidel"]
-
     def k_step(asm, datas, lg, v, masks, lam, max_iters, rel_tol,
                precond="gauss_seidel"):
         key = (max_iters, float(rel_tol), precond)
-        _last_precond[0] = precond
         if key not in _k_steps:
             fn = partial(step_fn, max_iters, rel_tol, precond)
             _k_steps[key] = jax.jit(shard_map(
@@ -458,7 +473,11 @@ def build_sharded_kernels(problem):
                           P()),
                 out_specs=_step_out_spec,
                 check_rep=False))
-        return _k_steps[key](datas, lg.valid0, lg.stored_cost, v, masks, lam)
+        out = _k_steps[key](datas, lg.valid0, lg.stored_cost, v, masks, lam)
+        # thread the preconditioner choice alongside lambda in the rs slot so
+        # k_resolve rebuilds the damped system with THIS step's precond (not
+        # module-level last-call state)
+        return out[:5] + ((out[5], precond),) + out[6:]
 
     def k_solve(asm, datas, lg, v, masks, lam, max_iters, rel_tol,
                 precond="gauss_seidel"):
@@ -482,10 +501,12 @@ def build_sharded_kernels(problem):
     _k_resolves = {}
 
     def k_resolve(lg, v, rs, g_r, g_l, max_iters, rel_tol):
-        lam = rs  # forwarded by k_step in the rs slot
-        key = (max_iters, float(rel_tol), _last_precond[0])
+        # k_step forwards (lam, precond) in the rs slot; accept a bare lam
+        # (older callers) with the default preconditioner
+        lam, precond = rs if isinstance(rs, tuple) else (rs, "gauss_seidel")
+        key = (max_iters, float(rel_tol), precond)
         if key not in _k_resolves:
-            fn = partial(resolve_fn, max_iters, rel_tol, _last_precond[0])
+            fn = partial(resolve_fn, max_iters, rel_tol, precond)
             _k_resolves[key] = jax.jit(shard_map(
                 fn, mesh=mesh,
                 in_specs=(dspecs_tree, fvec_spec, vspec, mspec, P(),

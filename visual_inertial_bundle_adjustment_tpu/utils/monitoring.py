@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import html as _html
 import json
+import os
 import threading
 import time
 from typing import Optional
@@ -373,6 +374,10 @@ body{{background:#0d0f12;color:#dde3ea;font-family:system-ui,sans-serif;margin:1
 h3{{font-size:13px;font-weight:500;margin:2px 0 4px 2px;color:#9aa7b5}}
 </style></head><body><h2>{_html.escape(title)}</h2>
 {stats_line}{"".join(panels)}{footer}</body></html>"""
-    with open(path, "w") as f:
+    # atomic replace: a live watcher (the point of --monitor-html) must never
+    # read a truncated file mid-write
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
         f.write(doc)
+    os.replace(tmp, path)
     return path
