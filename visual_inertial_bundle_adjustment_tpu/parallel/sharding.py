@@ -73,7 +73,10 @@ def _pad_batch(data: dict, n_pad: int):
             pass  # zero weight
         elif k in ("prev_rig", "next_rig", "rig", "point", "intr", "extr", "bias",
                    "calib", "prev", "next", "idx", "prev_extr", "next_extr", "rs_row"):
-            pad_row = jnp.zeros_like(a[:1])  # index 0 (harmless, weight is 0)
+            # replicate the LAST row's index: pads contribute zero (weight 0)
+            # at ANY index, and keeping the index inside the batch's own time
+            # span keeps per-shard table support contiguous (halo plans)
+            pad_row = a[-1:]
         else:
             pad_row = jnp.broadcast_to(a[:1], (1,) + a.shape[1:])
         out[k] = jnp.concatenate([a, jnp.broadcast_to(pad_row, (n_pad,) + a.shape[1:])], 0)
@@ -339,6 +342,120 @@ def point_halo_plan(problem, n, log=None):
     return rcs.PointHaloPlan(own, halo, n)
 
 
+def _ranges_to_plan(lo, hi, rows, n, min_own_mult=1):
+    """Per-shard contribution ranges [lo, hi) -> (PointHaloPlan, None) or
+    (None, reason). min_own_mult: required ownership width in halo units
+    (1 suffices for reduce+fetch correctness: every exchanged slab must lie
+    inside the sending shard's owned range)."""
+    from ..problem import rcs
+
+    lo, hi = np.asarray(lo, np.int64), np.minimum(np.asarray(hi, np.int64), rows)
+    if np.any(hi <= lo):
+        return None, "a shard touches no rows"
+    if not (np.all(np.diff(lo) >= 0) and np.all(np.diff(hi) >= 0)):
+        return None, "shard ranges not time-ordered"
+    own = np.empty(n + 1, np.int64)
+    own[0], own[n] = 0, rows
+    for s in range(1, n):
+        own[s] = int(np.clip((lo[s] + hi[s - 1]) // 2, lo[s], hi[s - 1] + 1)) \
+            if lo[s] <= hi[s - 1] else (hi[s - 1] + lo[s]) // 2
+    if not np.all(np.diff(own) > 0):
+        return None, "degenerate ownership (a shard owns 0 rows)"
+    over = [max(own[s] - lo[s], 0) for s in range(n)] + \
+           [max(hi[s] - own[s + 1], 0) for s in range(n)]
+    halo = max(int(np.max(over)), 8)
+    halo = ((halo + 7) // 8) * 8
+    if any(lo[s] < own[max(s - 1, 0)] or hi[s] > own[min(s + 2, n)]
+           for s in range(n)):
+        return None, "non-adjacent coupling (reach beyond neighbor ownership)"
+    if int(np.min(np.diff(own))) < min_own_mult * halo:
+        return None, (f"ownership width {int(np.min(np.diff(own)))} < "
+                      f"{min_own_mult}x halo {halo}")
+    return rcs.PointHaloPlan(own, halo, n), None
+
+
+def table_halo_plans(problem, n, log=None):
+    """Halo plans for the REDUCED tables (rig + calibration windows) under
+    tile sharding — the VERDICT round-3 ask #2 / SURVEY §7 step 8 treatment
+    ("keyframe blocks own their rigs; RW factors crossing block boundaries
+    are the halo exchange") applied beyond landmarks.
+
+    For each group, per-shard row support is computed from the REAL data:
+    blocked batches address [tile base, base+rb) rig rows (and [cal base,
+    base+wb) window rows); generic batches' index arrays shard contiguously
+    on the factor axis (their zero-weight pads replicate the last real
+    index, so support stays tight). Groups whose support is not banded /
+    big enough fall back to the per-matvec psum, with the reason logged.
+    Returns {group: PointHaloPlan}."""
+    from ..problem import factors as fct
+
+    emit = log or print
+    targets = (fct.RIG, fct.CAM_INTR, fct.CAM_EXTR, fct.IMU_CALIB,
+               fct.IMU_EXTR)
+    table_rows = {
+        fct.RIG: int(problem.variables.pose_q.shape[0]),
+        fct.CAM_INTR: int(problem.variables.cam_intr.shape[0]),
+        fct.CAM_EXTR: int(problem.variables.cam_extr_q.shape[0]),
+        fct.IMU_CALIB: int(problem.variables.imu_calib.shape[0]),
+        fct.IMU_EXTR: int(problem.variables.imu_extr_q.shape[0]),
+    }
+    lo = {g: np.full(n, table_rows[g], np.int64) for g in targets}
+    hi = {g: np.zeros(n, np.int64) for g in targets}
+    for cfg, data in zip(problem.cfgs, problem.datas):
+        info = getattr(cfg, "block_info", None)
+        if info is not None:
+            nt = info.nt
+            if nt % n:
+                for g in targets:
+                    lo[g][:] = 0
+                    hi[g][:] = table_rows[g]
+                break
+            per = nt // n
+            pad_tile = (np.asarray(data["_pad"]).reshape(nt, -1) > 0.5).all(axis=1)
+            rb_base = np.asarray(data["_rb_base"], np.int64)
+            cb_base = (np.asarray(data["_cb_base"], np.int64)
+                       if "_cb_base" in data else None)
+            for s in range(n):
+                sl = slice(s * per, (s + 1) * per)
+                real = ~pad_tile[sl]
+                if not real.any():
+                    continue
+                rbs = rb_base[sl][real]
+                lo[fct.RIG][s] = min(lo[fct.RIG][s], int(rbs.min()))
+                hi[fct.RIG][s] = max(hi[fct.RIG][s], int(rbs.max()) + info.rb)
+                if cb_base is not None and info.wb > 0:
+                    cbs = cb_base[sl][real]
+                    for g in (fct.CAM_INTR, fct.CAM_EXTR):
+                        lo[g][s] = min(lo[g][s], int(cbs.min()))
+                        hi[g][s] = max(hi[g][s], int(cbs.max()) + info.wb)
+            continue
+        for group, field in fct.REGISTRY[cfg.kind]["tangents"]:
+            if group not in targets or field is None or field not in data:
+                continue
+            idx = np.asarray(data[field], np.int64)
+            if idx.shape[0] % n:
+                # unsharded leftover (shard_blocked_problem pads to n | size)
+                lo[group][:] = np.minimum(lo[group], int(idx.min()))
+                hi[group][:] = np.maximum(hi[group], int(idx.max()) + 1)
+                continue
+            per_shard = idx.reshape(n, -1)
+            lo[group] = np.minimum(lo[group], per_shard.min(axis=1))
+            hi[group] = np.maximum(hi[group], per_shard.max(axis=1) + 1)
+    plans = {}
+    for g in targets:
+        rows = table_rows[g]
+        if rows == 0 or not bool(np.asarray(getattr(problem.masks, g)).any()):
+            continue  # empty or fully-constant table: no matvec traffic
+        if np.all(hi[g] == 0):
+            continue  # no factor touches this table
+        plan, reason = _ranges_to_plan(lo[g], hi[g], rows, n)
+        if plan is None:
+            emit(f"table_halo_plans[{g}]: psum fallback — {reason}")
+        else:
+            plans[g] = plan
+    return plans
+
+
 def build_sharded_kernels(problem):
     """The Problem._build kernel tuple, with every factor-touching kernel
     wrapped in shard_map over the problem's mesh. Per-factor state never
@@ -360,6 +477,8 @@ def build_sharded_kernels(problem):
     n = mesh.devices.size
     pt_plan = point_halo_plan(problem, n)
     problem.pt_plan = pt_plan  # introspectable (tests, dryrun accounting)
+    t_plans = table_halo_plans(problem, n)
+    problem.t_plans = t_plans
     ga = _active_groups(problem)
     cfgs_g = _resolved_cfgs(problem, ga)
     cfgs_l = tuple(
@@ -438,7 +557,8 @@ def build_sharded_kernels(problem):
             stored_cost=tuple(stored), valid0=tuple(valid0))
         asm = rcs.assemble(cfgs_l, datas, lg, v, masks, axis=ax)
         out = rcs.solve_assembled(asm, v, masks, lam, max_iters, rel_tol,
-                                  precond, axis=ax, pt_plan=pt_plan)
+                                  precond, axis=ax, pt_plan=pt_plan,
+                                  t_plans=t_plans)
         x_r, x_l, model_red, pcg_rel, pcg_it, _, (g_r, g_l) = out
         step_r, step_l = t_scale(x_r, -1.0), -x_l
         v_new = retract(v, step_r, step_l, masks)
@@ -496,7 +616,8 @@ def build_sharded_kernels(problem):
         asm = rcs.assemble(cfgs_l, datas, lg, v, masks, axis=ax)
         rs = rcs.with_damping(asm, v, masks, lam, precond, ax)
         return rcs.solve_with_system(lg, v, rs, g_r, g_l, max_iters, rel_tol,
-                                     axis=ax, pt_plan=pt_plan)
+                                     axis=ax, pt_plan=pt_plan,
+                                     t_plans=t_plans)
 
     _k_resolves = {}
 

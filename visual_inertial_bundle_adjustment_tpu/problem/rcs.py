@@ -978,14 +978,88 @@ def _cal_scatter_back(b: VisBatch, y: dict, y_c):
     return y
 
 
-def matvec(rs: RcsSystem, v, x: Tangent, axis=None, pt_plan=None) -> Tangent:
+def _complete_tangent(S: Tangent, axis, t_plans) -> Tangent:
+    """Complete per-shard partial factor sums: groups with a halo plan ride
+    neighbor ppermutes (owned rows complete, halo rows stay partial); the
+    rest (gravity, det_bias, any group whose plan bailed) psum. Per-matvec
+    collective bytes for planned groups are independent of table height."""
+    d = S._asdict()
+    rest = {g: a for g, a in d.items() if g not in t_plans}
+    rest = _maybe_psum(rest, axis)
+    for g, plan in t_plans.items():
+        d[g] = _halo_reduce_points(d[g], axis, plan)
+    d.update(rest)
+    return Tangent(**d)
+
+
+def _fetch_tangent_halo(x: Tangent, axis, t_plans) -> Tangent:
+    """Repair halo rows of planned groups from the owning neighbor."""
+    d = x._asdict()
+    for g, plan in t_plans.items():
+        d[g] = _halo_fetch_points(d[g], axis, plan)
+    return Tangent(**d)
+
+
+def matvec(rs: RcsSystem, v, x: Tangent, axis=None, pt_plan=None,
+           t_plans=None) -> Tangent:
     """S x = (H_rr + damping) x - W H_ll^-1 W^T x.
 
     Single pass per visual batch: wu = w * (J_r x) is computed ONCE and feeds
     both the rig-side scatter (H_rr x) and the point-side reduction (W^T x).
     Rig-only batches with bounded per-tile point windows run entirely on the
     rig grid (seg_schur_down/up — no rig<->point permutes, J read once per
-    pass); others fall back to the two-grid permute path."""
+    pass); others fall back to the two-grid permute path.
+
+    Under mesh sharding the factor sums come back partial and are completed
+    in ONE step (a single fused psum, or per-group halo exchanges when
+    `t_plans` carries plans — SURVEY §7 step 8, rig/window tables); damping
+    is added rowwise AFTER completion so neighbor slabs never double-count
+    it."""
+    S = _matvec_factor_sums(rs, v, x, axis, pt_plan)
+    if t_plans:
+        S = _complete_tangent(S, axis, t_plans)
+    else:
+        S = _maybe_psum(S, axis)
+    return jax.tree_util.tree_map(
+        lambda h, d, xv: h + rs.lam * (d * xv) + rs.lam * xv, S, rs.diag_r, x)
+
+
+def _matvec_factor_sums(rs: RcsSystem, v, x: Tangent, axis=None,
+                        pt_plan=None) -> Tangent:
+    """Per-shard partial (H_rr x - W H_ll^-1 W^T x): no damping, no final
+    tangent completion (the caller psums or halo-exchanges once). The
+    point-side solve is completed internally (halo plan or psum) because the
+    up-pass gathers from it.
+
+    Single-chip with exactly one fast visual batch (the bench shapes): the
+    whole Schur matvec runs as ONE fused kernel (seg_schur_pcg[_cal]) —
+    down + landmark solve + up with the point tables resident in VMEM."""
+    if axis is None and len(rs.vis) == 1 and not rs.rest_pt.lins \
+            and _single_pass(rs.vis[0]):
+        b = rs.vis[0]
+        y = zero_tangent(v)._asdict()
+        if _cal_fast(b):
+            J, J_pt, J_cal = _mv_jacs(b)
+            y_r, y_c = seg.seg_schur_pcg_cal(
+                J, J_cal, J_pt, b.w, b.rb_local, b.cal_local,
+                b.rg_pt_local, b.rg_hib, _rig_cols(x.rig, b.rig_k),
+                _cal_table(b, x), rs.H_ll_inv, b.rb_base, b.cal_base,
+                v.points.shape[0], b.info.nt, b.info.ts, b.info.rb,
+                b.info.wb, b.info.prb2 // 128, b.info.nhg)
+            y[fct.RIG] = y[fct.RIG] + _padk(y_r, b.rig_k)
+            y = _cal_scatter_back(b, y, y_c)
+        else:
+            J, J_pt, _ = _mv_jacs(b)
+            y_r = seg.seg_schur_pcg(
+                J, J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib,
+                _rig_cols(x.rig, b.rig_k), rs.H_ll_inv, b.rb_base,
+                v.points.shape[0], b.info.nt, b.info.ts, b.info.rb,
+                b.info.prb2 // 128, b.info.nhg)
+            y[fct.RIG] = y[fct.RIG] + _padk(y_r, b.rig_k)
+        hx_rest, _ = engine._hmatvec(
+            engine.LinearizedGraph(rs.rest.lins, rs.rest.w, 0.0, (), (), 0, 0),
+            v, x, jnp.zeros_like(v.points))
+        return jax.tree_util.tree_map(jnp.add, Tangent(**y), hx_rest)
     y = zero_tangent(v)._asdict()
     t = jnp.zeros_like(v.points)
     for b in rs.vis:
@@ -1026,10 +1100,7 @@ def matvec(rs: RcsSystem, v, x: Tangent, axis=None, pt_plan=None) -> Tangent:
         v, x, jnp.zeros_like(v.points))
     if rs.rest_pt.lins:  # point-coupled non-blocked batches: W^T x side
         t = t + hp_rest
-    hx = _maybe_psum(jax.tree_util.tree_map(jnp.add, Tangent(**y), hx_rest),
-                     axis)
-    damped = jax.tree_util.tree_map(
-        lambda h, d, xv: h + rs.lam * (d * xv) + rs.lam * xv, hx, rs.diag_r, x)
+    hx = jax.tree_util.tree_map(jnp.add, Tangent(**y), hx_rest)
     if axis is not None and pt_plan is not None:
         # landmark shards: neighbor-only halo exchange instead of the (L, 3)
         # full-table psum — collective bytes independent of L
@@ -1039,8 +1110,8 @@ def matvec(rs: RcsSystem, v, x: Tangent, axis=None, pt_plan=None) -> Tangent:
     else:
         t = _maybe_psum(t, axis)
         z = engine._chol_solve(rs.H_ll_inv, t)
-    corr = w_y(rs, v, z, axis)
-    return jax.tree_util.tree_map(jnp.subtract, damped, corr)
+    corr = w_y(rs, v, z, axis=None)  # caller completes the combined sum once
+    return jax.tree_util.tree_map(jnp.subtract, hx, corr)
 
 
 def _apply_precond(rs: RcsSystem, r: Tangent) -> Tangent:
@@ -1070,15 +1141,47 @@ def _apply_precond(rs: RcsSystem, r: Tangent) -> Tangent:
 # reduction order.
 
 
+def _packed_sections(counts):
+    offs, off = [], 0
+    for c in counts:
+        offs.append(off)
+        off += c
+    return tuple(offs)
+
+
 def pcg(rs: RcsSystem, v, b: Tangent, max_iters: int, rel_tol, axis=None,
-        pt_plan=None):
+        pt_plan=None, t_plans=None):
+    """Packed-state PCG on the reduced system.
+
+    With `t_plans` (mesh sharding with rig/window halo plans) the reduced
+    state is only OWNED-row-correct on each shard: matvec outputs complete
+    owned rows via neighbor ppermutes, scalar dots mask to owned rows and
+    psum (planless groups counted once on shard 0), the search direction's
+    halo rows are re-fetched each iteration, and the solution is completed
+    by one masked psum at the end. Per-iteration collective bytes are then
+    independent of session length (SURVEY §7 step 8)."""
     counts, dims, K = _pack_info(b)
+    offs = _packed_sections(counts)
     bp = pack_t(b, counts, dims, K)
     Pm = (pack_blocks(rs.precond_inv, counts, dims, K)
           if rs.precond_inv is not None else None)
 
+    if t_plans:
+        i = jax.lax.axis_index(axis)
+        mparts = []
+        for f, cnt in zip(Tangent._fields, counts):
+            if f in t_plans:
+                lo = jnp.take(t_plans[f].own_lo, i)
+                hi = jnp.take(t_plans[f].own_lo, i + 1)
+                ii = jnp.arange(cnt)
+                mparts.append(((ii >= lo) & (ii < hi)).astype(bp.dtype))
+            else:  # complete on every shard: count once (shard 0)
+                mparts.append(jnp.full((cnt,), (i == 0).astype(bp.dtype)))
+        own = jnp.concatenate(mparts)[:, None]  # (nb, 1)
+
     def mv(xp):
-        y = matvec(rs, v, unpack_t(xp, counts, dims, K), axis, pt_plan)
+        y = matvec(rs, v, unpack_t(xp, counts, dims, K), axis, pt_plan,
+                   t_plans)
         return pack_t(y, counts, dims, K)
 
     def prec(rp):
@@ -1088,44 +1191,73 @@ def pcg(rs: RcsSystem, v, b: Tangent, max_iters: int, rel_tol, axis=None,
         # would round through bf16 on the MXU at DEFAULT precision
         return jnp.sum(Pm * rp[:, None, :], axis=-1)
 
-    b_norm2 = jnp.vdot(bp, bp)
+    def dot1(a, c):
+        if not t_plans:
+            return jnp.vdot(a, c)
+        return jax.lax.psum(jnp.vdot(a * own, c), axis)
+
+    def dot2(a, c1, c2):
+        """(a.c1, a.c2) in one collective round."""
+        if not t_plans:
+            return jnp.vdot(a, c1), jnp.vdot(a, c2)
+        am = a * own
+        s = jax.lax.psum(jnp.stack([jnp.vdot(am, c1), jnp.vdot(am, c2)]),
+                         axis)
+        return s[0], s[1]
+
+    def fetch_p(pp):
+        if not t_plans:
+            return pp
+        for f, off, cnt in zip(Tangent._fields, offs, counts):
+            if f in t_plans:
+                sec = jax.lax.slice(pp, (off, 0), (off + cnt, K))
+                sec = _halo_fetch_points(sec, axis, t_plans[f])
+                pp = jax.lax.dynamic_update_slice(
+                    pp, sec, (jnp.asarray(off), jnp.asarray(0)))
+        return pp
+
     x0 = jnp.zeros_like(bp)
     z0 = prec(bp)
-    rz0 = jnp.vdot(bp, z0)
+    rz0, b_norm2 = dot2(bp, z0, bp)
 
     def cond(state):
-        _, r, _, _, it, _ = state
-        return (it < max_iters) & (jnp.vdot(r, r) > rel_tol * rel_tol * b_norm2)
+        _, _, _, _, it, _, rr = state
+        return (it < max_iters) & (rr > rel_tol * rel_tol * b_norm2)
 
     def body(state):
-        x, r, z, p, it, rz = state
+        x, r, z, p, it, rz, _ = state
         Ap = mv(p)
-        pAp = jnp.vdot(p, Ap)
+        pAp = dot1(p, Ap)
         alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
         x = x + alpha * p
         r = r - alpha * Ap
         z = prec(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new, rr = dot2(r, z, r)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-        p = z + beta * p
-        return (x, r, z, p, it + 1, rz_new)
+        p = fetch_p(z + beta * p)
+        return (x, r, z, p, it + 1, rz_new, rr)
 
-    x, r, _, _, iters, _ = jax.lax.while_loop(cond, body, (x0, bp, z0, z0, 0, rz0))
-    rel = jnp.sqrt(jnp.vdot(r, r) / jnp.where(b_norm2 == 0, 1.0, b_norm2))
+    x, r, _, _, iters, _, rr = jax.lax.while_loop(
+        cond, body, (x0, bp, z0, z0, 0, rz0, b_norm2))
+    if t_plans:  # complete the solution: owned rows summed exactly once
+        x = jax.lax.psum(x * own, axis)
+    rel = jnp.sqrt(rr / jnp.where(b_norm2 == 0, 1.0, b_norm2))
     return unpack_t(x, counts, dims, K), rel, iters
 
 
 def solve_assembled(asm: RcsAsm, v, masks, lam, max_iters=250, rel_tol=1e-10,
-                    precond="gauss_seidel", axis=None, pt_plan=None):
+                    precond="gauss_seidel", axis=None, pt_plan=None,
+                    t_plans=None):
     """Per-lambda solve on a prebuilt assembly; `precond` picks the
     preconditioner family exactly as on the generic path
-    (engine.build_reduced_system). The one-time point-table reductions here
-    stay full psums; only the per-PCG-iteration one uses the halo plan."""
+    (engine.build_reduced_system). The one-time (per-solve) reductions here
+    stay full psums; only the per-PCG-iteration ones ride the halo plans."""
     rs = with_damping(asm, v, masks, lam, precond, axis)
     g_r, g_l = asm.g_r, asm.g_l
     z = engine._chol_solve(rs.H_ll_inv, g_l)
     b = jax.tree_util.tree_map(jnp.subtract, g_r, w_y(rs, v, z, axis))
-    x_r, rel, iters = pcg(rs, v, b, max_iters, rel_tol, axis, pt_plan)
+    x_r, rel, iters = pcg(rs, v, b, max_iters, rel_tol, axis, pt_plan,
+                          t_plans)
     x_l = engine._chol_solve(rs.H_ll_inv,
                              g_l - w_transpose_x(rs, v, x_r, axis))
     model_red = 0.5 * (t_dot(x_r, g_r) + jnp.vdot(x_l, g_l))
@@ -1140,9 +1272,9 @@ def solve_step(cfgs, datas, lg, v, masks, lam, max_iters=250, rel_tol=1e-10,
 
 
 def solve_with_system(lg, v, rs: RcsSystem, g_r, g_l, max_iters=250, rel_tol=1e-10,
-                      axis=None, pt_plan=None):
+                      axis=None, pt_plan=None, t_plans=None):
     z = engine._chol_solve(rs.H_ll_inv, g_l)
     b = jax.tree_util.tree_map(jnp.subtract, g_r, w_y(rs, v, z, axis))
-    x_r, _, _ = pcg(rs, v, b, max_iters, rel_tol, axis, pt_plan)
+    x_r, _, _ = pcg(rs, v, b, max_iters, rel_tol, axis, pt_plan, t_plans)
     x_l = engine._chol_solve(rs.H_ll_inv, g_l - w_transpose_x(rs, v, x_r, axis))
     return x_r, x_l
