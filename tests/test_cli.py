@@ -127,6 +127,7 @@ def test_rig_subrange(session_dir):
     assert problem.variables.pose_q.shape[0] == 9
 
 
+@pytest.mark.slow
 def test_per_imu_noise_models(session_dir):
     from visual_inertial_bundle_adjustment_tpu.models import imu as imu_model
 

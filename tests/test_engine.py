@@ -225,6 +225,7 @@ if __name__ == "__main__":
     pytest.main([__file__, "-v"])
 
 
+@pytest.mark.slow
 def test_chunked_linearize_matches(small_problem, monkeypatch):
     """The lax.map-chunked wide-tangent linearizer (HBM guard for
     multi-million-observation batches) must produce identical output."""

@@ -328,3 +328,36 @@ def test_calib_covariances_blocks():
         direct = covariance.joint_covariance(
             p, [("imu_calib", 0, d) for d in range(6)], lam=1e-7)
     np.testing.assert_allclose(cov, direct, atol=1e-8 * abs(direct).max())
+
+
+def test_blocked_covariance_matches_generic():
+    """Round-3 VERDICT ask #4: covariance columns must ride the blocked
+    single-pass Schur engine when the problem has a blocked layout, and the
+    numbers must match the generic engine's columns."""
+    from visual_inertial_bundle_adjustment_tpu.problem import rcs
+
+    def _p():
+        s = SyntheticSession(duration=6.0, keyframe_hz=5.0, num_points=60,
+                             seed=11, pixel_noise=0.15)
+        p = build_synthetic_problem(
+            s, BuildOptions(init_pose_noise=0.004, init_point_noise=0.02,
+                            init_vel_noise=0.02))
+        optimize(p, LMSettings(max_iterations=6, log=None))
+        return p
+
+    pa = _p()
+    rcs.finalize_blocks(pa, rb=8, prb=16, ts=64)
+    with covariance.with_gauge_prior(pa):
+        sys_a = covariance.prepare_system(pa, lam=1e-7)
+        assert covariance.system_is_blocked(sys_a), "blocked path did not engage"
+    cov_a = covariance.rig_covariances(pa, [2], lam=1e-7)[2]
+
+    pb = _p()
+    pb.use_blocked_engine = False
+    with covariance.with_gauge_prior(pb):
+        sys_b = covariance.prepare_system(pb, lam=1e-7)
+        assert not covariance.system_is_blocked(sys_b)
+    cov_b = covariance.rig_covariances(pb, [2], lam=1e-7)[2]
+
+    scale = np.abs(cov_b).max()
+    np.testing.assert_allclose(cov_a, cov_b, atol=1e-5 * scale)

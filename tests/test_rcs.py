@@ -269,6 +269,7 @@ def test_blocked_preconditioner_families():
     assert iters["jacobi"] <= iters["identity"] + 16
 
 
+@pytest.mark.slow
 def test_lifetime_session_stays_single_pass():
     """Realistic finite-lifetime tracks (bench workload shape) must qualify
     for the single-pass rig-grid kernels under the DEFAULT tile geometry —

@@ -111,6 +111,7 @@ def test_sharded_cal_step_matches_single_device():
             rtol=1e-3, atol=1e-6, err_msg=f)
 
 
+@pytest.mark.slow
 def test_sharded_substep_resolve_matches_single_device():
     """Sub-step re-solve under sharding (Optimizer.cpp:958-1000 parity,
     round-2 VERDICT item 6): k_resolve on the sharded kernels must solve
@@ -202,6 +203,7 @@ def test_landmark_halo_sharding_matches_and_drops_table_psum():
     assert len(r_shaped) <= 6, (len(r_shaped), r_shaped[:8])
 
 
+@pytest.mark.slow
 def test_generic_shard_problem_fallback_matches_single_device():
     """The documented escape hatch for layouts that fail
     shard_blocked_problem's single-pass eligibility (sharding.py ValueError
@@ -230,6 +232,7 @@ def test_generic_shard_problem_fallback_matches_single_device():
                                rtol=1e-7)
 
 
+@pytest.mark.slow
 def test_dryrun_runs_blocked_engine():
     import __graft_entry__ as g
 

@@ -17,7 +17,7 @@ from visual_inertial_bundle_adjustment_tpu.ops import segments as seg
 # full-sensor bench shape
 NT, TS, RB, WB, NHW, NHG = 427, 4096, 128, 16, 16, 312
 D, K, KC = 2, 9, 23
-N_R, N_C, N_PTS = 6000, 244, 60000
+N_R, N_C, N_PTS = 6000, 244, 39000
 
 
 def mkdata(seed=0):
@@ -45,28 +45,28 @@ def mkdata(seed=0):
         x_r=x_r, x_c=x_c, hinv=hinv, res=res).items()}
 
 
-def marginal(make, k1=1, k2=3, n=5, tag=""):
+def marginal(make, k1=1, k2=3, n=5, tag="", args=()):
     f1, f2 = jax.jit(make(k1)), jax.jit(make(k2))
 
     def t(f):
-        o = f()
+        o = f(*args)
         jax.block_until_ready(o)
-        o = f()
+        o = f(*args)
         jax.block_until_ready(o)
         t0 = time.time()
         for _ in range(n):
-            o = f()
+            o = f(*args)
         jax.block_until_ready(o)
         return (time.time() - t0) / n
     t1, t2 = t(f1), t(f2)
     m = (t2 - t1) / (k2 - k1)
-    print(f"  {tag:46s} {m * 1e3:9.3f} ms", flush=True)
+    print(f"  {tag:46s} {m * 1e3:9.3f} ms (c{k1}={t1*1e3:.2f}, c{k2}={t2*1e3:.2f})", flush=True)
     return m
 
 
 def bench_matvec(d):
     def down(k):
-        def f():
+        def f(d):
             acc = 0.0
             xr = d["x_r"]
             for i in range(k):
@@ -78,10 +78,10 @@ def bench_matvec(d):
                 acc = acc + y_r[0, 0] + t[0, 0]
             return acc
         return f
-    marginal(down, tag="seg_schur_down_cal")
+    marginal(down, tag="seg_schur_down_cal", args=(d,))
 
     def up(k):
-        def f():
+        def f(d):
             acc = 0.0
             z = jnp.ones((N_PTS, 3), jnp.float32)
             for i in range(k):
@@ -93,10 +93,10 @@ def bench_matvec(d):
                 acc = acc + y_r[0, 0] + y_c[0, 0]
             return acc
         return f
-    marginal(up, tag="seg_schur_up_cal")
+    marginal(up, tag="seg_schur_up_cal", args=(d,))
 
     def fused(k):
-        def f():
+        def f(d):
             acc = 0.0
             xr = d["x_r"]
             for i in range(k):
@@ -108,12 +108,12 @@ def bench_matvec(d):
                 acc = acc + y_r[0, 0] + y_c[0, 0]
             return acc
         return f
-    marginal(fused, tag="seg_schur_pcg_cal (fused)")
+    marginal(fused, tag="seg_schur_pcg_cal (fused)", args=(d,))
 
 
 def bench_precond(d):
     def pre(k):
-        def f():
+        def f(d):
             acc = 0.0
             for i in range(k):
                 B = seg.seg_precond_rig(
@@ -123,12 +123,12 @@ def bench_precond(d):
                 acc = acc + B[0, 0, 0]
             return acc
         return f
-    marginal(pre, tag="seg_precond_rig")
+    marginal(pre, tag="seg_precond_rig", args=(d,))
 
 
 def bench_assemble(d):
     def asm(k):
-        def f():
+        def f(d):
             acc = 0.0
             for i in range(k):
                 out = seg.seg_assemble_cal(
@@ -139,7 +139,7 @@ def bench_assemble(d):
                 acc = acc + out[0][0, 0]
             return acc
         return f
-    marginal(asm, tag="seg_assemble_cal")
+    marginal(asm, tag="seg_assemble_cal", args=(d,))
 
 
 def main():

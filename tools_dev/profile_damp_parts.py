@@ -117,12 +117,43 @@ def main():
             out = 0.0
             for i in range(k):
                 l2 = l._replace(lins=jax.tree_util.tree_map(
-                    lambda a: a * (1.0 + 1e-6 * i), l.lins))
+                    lambda a: (a * (1.0 + 1e-6 * i)
+                               if jnp.issubdtype(a.dtype, jnp.floating) else a),
+                    l.lins))
                 a2 = rcs.assemble(cfgs, dd, l2, vv, mm)
                 out = out + a2.g_r.rig[0, 0]
             return out
         return lambda: f(datas, lg, v, masks)
     marginal(asm_chain, k1=1, k2=3, n=3, tag="assemble (chained)")
+
+    # ---- rest _hmatvec marginal -------------------------------------------
+    zp = jnp.zeros_like(v.points)
+
+    def rest_chain(k):
+        @jax.jit
+        def f(r, vv, x):
+            for _ in range(k):
+                hx, _ = engine._hmatvec(
+                    engine.LinearizedGraph(r.rest.lins, r.rest.w, 0.0, (), (),
+                                           0, 0), vv, x, zp)
+                nrm = jnp.sqrt(sum(jnp.vdot(a, a) for a in
+                                   jax.tree_util.tree_leaves(hx)).real) + 1.0
+                x = jax.tree_util.tree_map(lambda a: a / nrm, hx)
+            return x
+        return lambda: f(rs, v, ones)
+    marginal(rest_chain, k1=1, k2=5, tag="rest _hmatvec (chained)")
+
+    # ---- pcg marginal ------------------------------------------------------
+    def pcg_m(it):
+        @jax.jit
+        def f(a, vv, mm, lam):
+            return rcs.solve_assembled(a, vv, mm, lam, it, 1e-30)[0].rig[0, 0]
+        return lambda: f(asm, v, masks, lam0)
+    f1, f40 = pcg_m(1), pcg_m(40)
+    t1 = timed(f1, n=5)
+    t40 = timed(f40, n=5)
+    print(f"  {'solve(1) / solve(40)':44s} {t1*1e3:9.1f} / {t40*1e3:9.1f} ms"
+          f" -> pcg marginal {(t40-t1)/39*1e3:.3f} ms", flush=True)
 
     # ---- comparable_cost marginal -----------------------------------------
     def cost_chain(k):

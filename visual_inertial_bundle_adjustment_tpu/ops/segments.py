@@ -787,25 +787,29 @@ def _assemble_rig_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref,
     Jp = jp_ref[:]  # (d, 3, ts)
     w = w_ref[0, 0]
     d, k = Jr.shape[0], Jr.shape[1]
-    wres = [res_ref[dd, :] * w for dd in range(d)]  # (d, ts)
-    # rig side: gradient + Hessian diagonal, one (rb, 2k) reduce
-    gr = [sum(Jr[dd, a, :] * wres[dd] for dd in range(d)) for a in range(k)]
-    dg = [sum(Jr[dd, a, :] * Jr[dd, a, :] for dd in range(d)) * w
-          for a in range(k)]
-    C = jnp.concatenate([c[None, :] for c in (gr + dg)], axis=0)  # (2k, ts)
+    ts_n = Jr.shape[2]
+    wres = res_ref[:] * w[None, :]  # (d, ts) dense
+    # rig side: gradient + Hessian diagonal, one (rb, 2k) reduce. All
+    # products DENSE-stacked: per-scalar (1, ts) rows occupy one sublane.
+    gr = jnp.sum(Jr * wres[:, None, :], axis=0)  # (k, ts)
+    dg = jnp.sum(Jr * Jr, axis=0) * w[None, :]  # (k, ts)
+    C = jnp.concatenate([gr, dg], axis=0)  # (2k, ts)
     ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, ts)
     part = _sel_dot(ohr, C, ((1,), (1,)))  # (rb, 2k)
     y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
                                  + part.astype(y_ref.dtype))
     # point side: gradient (3) + symmetric landmark block (6), scattered
     # into the resident (9*nhg, 128) table through the hi/lo hierarchy
-    gl = [sum(Jp[dd, b, :] * wres[dd] for dd in range(d)) for b in range(3)]
-    Ht = [sum(Jp[dd, a, :] * Jp[dd, b, :] for dd in range(d)) * w
-          for a, b in _triu_pairs(3)]
+    gl = jnp.sum(Jp * wres[:, None, :], axis=0)  # (3, ts)
+    Hf = sum(Jp[dd][:, None, :] * Jp[dd][None, :, :]
+             for dd in range(d)) * w[None, None, :]  # (3, 3, ts)
+    Ht = jnp.concatenate(
+        [Hf[a][b][None, :] for a, b in _triu_pairs(3)], axis=0)  # (6, ts)
+    X = jnp.concatenate([gl, Ht], axis=0)  # (9, ts)
     hi, lo = _hi_lo(ploc_ref[0, 0])
     ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)  # (128, ts)
     ohhi = _oh_t(hi, nhw).astype(w.dtype)  # (nhw, ts)
-    MT = jnp.concatenate([ohhi * c[None, :] for c in (gl + Ht)], axis=0)
+    MT = (X[:, None, :] * ohhi[None, :, :]).reshape(9 * nhw, ts_n)
     P = _sel_dot(MT, ohlo, ((1,), (1,)))  # (9*nhw, 128)
     for j in range(9):
         tp_ref[pl.ds(j * nhg + hb, nhw), :] = (
@@ -1501,36 +1505,46 @@ def _assemble_cal_kernel(rb, wb, nhw, nhg, splits, rbases_ref, cbases_ref,
     Jp = jp_ref[:]  # (d, 3, tsc)
     w = w_ref[0, 0]
     d, k, kc = Jr.shape[0], Jr.shape[1], Jc.shape[1]
-    wres = [res_ref[dd, :] * w for dd in range(d)]
-    # rig side: gradient + diagonal
-    gr = [sum(Jr[dd, a, :] * wres[dd] for dd in range(d)) for a in range(k)]
-    dg = [sum(Jr[dd, a, :] * Jr[dd, a, :] for dd in range(d)) * w
-          for a in range(k)]
-    C = jnp.concatenate([x[None, :] for x in (gr + dg)], axis=0)
+    tsc = Jr.shape[2]
+    wres = res_ref[:] * w[None, :]  # (d, tsc) dense
+    # rig side: gradient + diagonal (dense-stacked products — see
+    # _assemble_rig_kernel)
+    gr = jnp.sum(Jr * wres[:, None, :], axis=0)
+    dg = jnp.sum(Jr * Jr, axis=0) * w[None, :]
+    C = jnp.concatenate([gr, dg], axis=0)
     ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)
     part = _sel_dot(ohr, C, ((1,), (1,)))
     yr_ref[pl.ds(base, rb), :] = (yr_ref[pl.ds(base, rb), :]
                                   + part.astype(yr_ref.dtype))
-    # cal side: gradient + diagonal + per-split self-block triangles
-    # (the lambda-free block-Jacobi blocks of the window variables)
-    gc = [sum(Jc[dd, a, :] * wres[dd] for dd in range(d)) for a in range(kc)]
-    dc = [sum(Jc[dd, a, :] * Jc[dd, a, :] for dd in range(d)) * w
-          for a in range(kc)]
-    tric = [sum(Jc[dd, a, :] * Jc[dd, b, :] for dd in range(d)) * w
-            for a, b in _tri_pairs_splits(splits)]
-    CC = jnp.concatenate([x[None, :] for x in (gc + dc + tric)], axis=0)
+    # cal side: gradient + diagonal + per-split FULL self blocks (the
+    # lambda-free block-Jacobi blocks of the window variables; full squares
+    # reshape for free where triangles would need per-row packing)
+    gc = jnp.sum(Jc * wres[:, None, :], axis=0)
+    dc = jnp.sum(Jc * Jc, axis=0) * w[None, :]
+    sq = []
+    off = 0
+    for dim in splits:
+        Js = Jc[:, off:off + dim, :]
+        Bs = sum(Js[dd][:, None, :] * Js[dd][None, :, :]
+                 for dd in range(d)) * w[None, None, :]
+        sq.append(Bs.reshape(dim * dim, tsc))
+        off += dim
+    CC = jnp.concatenate([gc, dc] + sq, axis=0)
     ohc = _oh_t(cloc_ref[0, 0], wb).astype(jnp.bfloat16)
     partc = _sel_dot(ohc, CC, ((1,), (1,)))
     yc_ref[pl.ds(cb, wb), :] = (yc_ref[pl.ds(cb, wb), :]
                                 + partc.astype(yc_ref.dtype))
     # point side: gradient + symmetric landmark block
-    gl = [sum(Jp[dd, b, :] * wres[dd] for dd in range(d)) for b in range(3)]
-    Ht = [sum(Jp[dd, a, :] * Jp[dd, b, :] for dd in range(d)) * w
-          for a, b in _triu_pairs(3)]
+    gl = jnp.sum(Jp * wres[:, None, :], axis=0)
+    Hf = sum(Jp[dd][:, None, :] * Jp[dd][None, :, :]
+             for dd in range(d)) * w[None, None, :]
+    Ht = jnp.concatenate(
+        [Hf[a][b][None, :] for a, b in _triu_pairs(3)], axis=0)
+    X = jnp.concatenate([gl, Ht], axis=0)  # (9, tsc)
     hi, lo = _hi_lo(ploc_ref[0, 0])
     ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)
     ohhi = _oh_t(hi, nhw).astype(w.dtype)
-    MT = jnp.concatenate([ohhi * x[None, :] for x in (gl + Ht)], axis=0)
+    MT = (X[:, None, :] * ohhi[None, :, :]).reshape(9 * nhw, tsc)
     P = _sel_dot(MT, ohlo, ((1,), (1,)))
     for j in range(9):
         tp_ref[pl.ds(j * nhg + hb, nhw), :] = (
@@ -1550,8 +1564,7 @@ def seg_assemble_cal(J_r, J_c, J_p, res, w, rig_local, cal_local, pt_local,
       g_l (n_pts, 3); H_ll0 (n_pts, 3, 3)."""
     d, k, _ = J_r.shape
     kc = J_c.shape[1]
-    pairs = _tri_pairs_splits(splits)
-    ntri = len(pairs)
+    ntri = sum(dim * dim for dim in splits)  # full squares per split
     if not use_pallas(J_r):
         wres = res * w[None, :]
         g_r = seg_mv_scatter_table(J_r, wres, rig_local, r_bases, nt, ts, rb,
@@ -1562,9 +1575,14 @@ def seg_assemble_cal(J_r, J_c, J_p, res, w, rig_local, cal_local, pt_local,
                                    n_c)
         dconc = jnp.einsum("dkn,dkn->kn", J_c, J_c * w[None, None, :])
         diag_c = seg_reduce_table(dconc, cal_local, c_bases, nt, ts, wb, n_c)
-        tric = jnp.stack(
-            [jnp.einsum("dn,dn->n", J_c[:, a, :], J_c[:, b, :] * w[None, :])
-             for a, b in pairs], axis=0)
+        sqs = []
+        off = 0
+        for dim in splits:
+            Js = J_c[:, off:off + dim, :]
+            sqs.append(jnp.einsum("dan,dbn->abn", Js * w[None, None, :],
+                                  Js).reshape(dim * dim, -1))
+            off += dim
+        tric = jnp.concatenate(sqs, axis=0)
         tri_red = seg_reduce_table(tric, cal_local, c_bases, nt, ts, wb, n_c)
         rows = _to_pt_rows(pt_local, hib, nt, ts)
         gl_c = jnp.einsum("dbn,dn->nb", J_p, wres)
@@ -1574,7 +1592,9 @@ def seg_assemble_cal(J_r, J_c, J_p, res, w, rig_local, cal_local, pt_local,
         buf = buf.at[rows, 3:].add(Hc.reshape(-1, 9))
         g_l, H = buf[:n_pts, :3], buf[:n_pts, 3:].reshape(n_pts, 3, 3)
     else:
-        tsc = _schur_chunk_cal(ts, rb, wb, nhw)
+        # the dense per-split (dim, dim, tsc) f32 temporaries add ~dim^2*tsc*4
+        # to the scoped-VMEM live set: halve the chunk vs the matvec kernels
+        tsc = max(256, _schur_chunk_cal(ts, rb, wb, nhw) // 2)
         nc_ch = ts // tsc
         npad_r = ((n_r + rb + 7) // 8) * 8
         npad_c = ((n_c + wb + 7) // 8) * 8
@@ -1642,18 +1662,13 @@ def seg_assemble_cal(J_r, J_c, J_p, res, w, rig_local, cal_local, pt_local,
             tri_idx[a, b] = tri_idx[b, a] = m
         H = tri3[:, tri_idx.reshape(-1)].reshape(n_pts, 3, 3)
 
-    # unpack per-split triangles (n_c, ntri) into symmetric blocks
+    # unpack per-split full squares (n_c, ntri) into blocks
     blocks_c = []
-    import numpy as _np
     pos = 0
     for dim in splits:
-        m = dim * (dim + 1) // 2
-        idx = _np.zeros((dim, dim), _np.int32)
-        for mi, (a, b) in enumerate(
-                [(a, b) for a in range(dim) for b in range(a, dim)]):
-            idx[a, b] = idx[b, a] = pos + mi
-        blocks_c.append(tri_red[:, idx.reshape(-1)].reshape(-1, dim, dim))
-        pos += m
+        blocks_c.append(
+            tri_red[:, pos:pos + dim * dim].reshape(-1, dim, dim))
+        pos += dim * dim
     return g_r, diag_r, g_c, diag_c, blocks_c, g_l, H
 
 
@@ -1678,25 +1693,23 @@ def _precond_rig_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
     Jp = jp_ref[:]  # (d, 3, tsc)
     w = w_ref[0, 0]
     k, d = Jr.shape[1], Jr.shape[0]
-    H = [jnp.sum(jnp.where(ohhi, Gt[j * nhw:(j + 1) * nhw, :], 0.0),
-                 axis=0).astype(Jr.dtype) for j in range(9)]  # H[b*3+c] (tsc,)
+    tsc = Jr.shape[2]
+    # per-obs H_ll^-1 (3, 3, tsc), selected on the VPU
+    H = jnp.stack([
+        jnp.sum(jnp.where(ohhi, Gt[j * nhw:(j + 1) * nhw, :], 0.0), axis=0)
+        for j in range(9)], axis=0).reshape(3, 3, tsc).astype(Jr.dtype)
     Jw = Jr * w[None, None, :]
-    # A[a][b] = sum_d (w Jr)[d,a] Jp[d,b];  C[a][c] = sum_b A[a][b] H[b,c]
-    # (d summed by explicit unroll: Mosaic rejects multi_reduction over a
-    # sliced, offset-laid-out axis)
-    def _dsum(X, a, Y, b):
-        return sum(X[dd, a, :] * Y[dd, b, :] for dd in range(d))
-
-    A = [[_dsum(Jw, a, Jp, b) for b in range(3)] for a in range(k)]
-    C = [[A[a][0] * H[c] + A[a][1] * H[3 + c] + A[a][2] * H[6 + c]
-          for c in range(3)] for a in range(k)]
-    # packed upper triangle of  B - A H A^T,  B[a,b] = sum_d (w Jr)[d,a] Jr[d,b]
-    rows = [_dsum(Jw, a, Jr, b)
-            - (C[a][0] * A[b][0] + C[a][1] * A[b][1] + C[a][2] * A[b][2])
-            for a, b in _triu_pairs(k)]
-    E = jnp.concatenate([r[None, :] for r in rows], axis=0)  # (k(k+1)/2, tsc)
+    # DENSE stacked outer products: per-scalar (1, tsc) rows occupy one
+    # sublane (1/8 of the VPU); (k, k, tsc) broadcasts run full-width.
+    # d summed by explicit unroll (d == 2).
+    A = sum(Jw[dd][:, None, :] * Jp[dd][None, :, :] for dd in range(d))
+    C = sum(A[:, cc][:, None, :] * H[cc][None, :, :] for cc in range(3))
+    B = sum(Jw[dd][:, None, :] * Jr[dd][None, :, :] for dd in range(d))
+    corr = sum(C[:, cc][:, None, :] * A[:, cc][None, :, :]
+               for cc in range(3))
+    E = (B - corr).reshape(k * k, tsc)  # full square (host symmetrizes)
     ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, tsc)
-    part = _sel_dot(ohr, E, ((1,), (1,)))  # (rb, k(k+1)/2)
+    part = _sel_dot(ohr, E, ((1,), (1,)))  # (rb, k*k)
     y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
                                  + part.astype(y_ref.dtype))
 
@@ -1709,7 +1722,6 @@ def seg_precond_rig(J_r, J_p, w, rig_local, pt_local, hib, hinv, r_bases,
     VMEM-resident) — the lambda-dependent Schur self-correction of the
     block-Jacobi preconditioner without materializing (k, k, N) in HBM."""
     d, k, _ = J_r.shape
-    pairs = _triu_pairs(k)
     if not use_pallas(J_r):
         rows = _to_pt_rows(pt_local, hib, nt, ts)
         hp = jnp.pad(hinv.reshape(-1, 9), ((0, nhg * 128 - hinv.shape[0]),
@@ -1726,7 +1738,7 @@ def seg_precond_rig(J_r, J_p, w, rig_local, pt_local, hib, hinv, r_bases,
     nc = ts // tsc
     npad = ((n_rows + rb + 7) // 8) * 8
     hk = pt_table_to_kernel(hinv.reshape(-1, 9), nhg)  # (9*nhg, 128)
-    ntri = k * (k + 1) // 2
+    ntri = k * k
     y = pl.pallas_call(
         partial(_precond_rig_kernel, rb, nhw, nhg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1762,12 +1774,10 @@ def seg_precond_rig(J_r, J_p, w, rig_local, pt_local, hib, hinv, r_bases,
         J_r,
         J_p,
     )
-    tri = y[:n_rows]  # (n_rows, k(k+1)/2)
-    import numpy as _np
-    tri_idx = _np.zeros((k, k), _np.int32)
-    for idx, (a, b) in enumerate(pairs):
-        tri_idx[a, b] = tri_idx[b, a] = idx
-    return tri[:, tri_idx.reshape(-1)].reshape(n_rows, k, k)
+    M = y[:n_rows].reshape(n_rows, k, k)
+    # exact symmetry (CG needs a symmetric preconditioner; the dense corr
+    # accumulation can differ in the last ulp between (a,b) and (b,a))
+    return 0.5 * (M + jnp.swapaxes(M, -1, -2))
 
 
 # ---------------------------------------------------------------------------

@@ -320,6 +320,227 @@ def _run(camera_kind, data, v, masks, info, with_jac):
     )
 
 
+def _qmul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return (aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw)
+
+
+def _visual_cal_kernel(kind, rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref,
+                       ploc_ref, iw_ref, ie_ref, ib_ref, pad_ref, bon_ref,
+                       uv_ref, sh_ref, pose_ref, pt_ref, intr_ref, extr_ref,
+                       bias_ref, res_ref, val_ref, jp_ref, jr_ref, jc_ref):
+    """Calib-coupled plain-visual linearization (round-3 VERDICT ask #5):
+    point + pose + cam extr + cam intr Jacobians from jax.linearize +
+    linear_transpose IN-KERNEL (2 cotangent passes), the way rs_fused
+    does for rolling shutter. Reference analytic hot kernel:
+    viba/problem/VisualFactor.cpp:36-120."""
+    i = pl.program_id(0)
+    base = pl.multiple_of(rbases_ref[i], 8)
+    hb = pl.multiple_of(hib_ref[i], 8)
+
+    ohr = seg._oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)
+    PG = seg._sel_dot(pose_ref[pl.ds(base, rb), :], ohr, ((0,), (0,)))
+    Tq0 = (PG[0, :], PG[1, :], PG[2, :], PG[3, :])
+    Tt0 = (PG[4, :], PG[5, :], PG[6, :])
+    rmask = [PG[7 + j, :] for j in range(6)]
+
+    hi, lo = seg._hi_lo(ploc_ref[0, 0])
+    ohlo = seg._oh_t(lo, 128).astype(jnp.bfloat16)
+    ohhi = seg._oh_t(hi, nhw)
+    Zw = jnp.concatenate(
+        [pt_ref[pl.ds(j * nhg + hb, nhw), :] for j in range(6)], axis=0)
+    Gt = seg._sel_dot(Zw, ohlo, ((1,), (0,)))
+    col = [jnp.sum(jnp.where(ohhi, Gt[j * nhw:(j + 1) * nhw, :], 0.0), axis=0)
+           for j in range(6)]
+    P0 = (col[0], col[1], col[2])
+    pmask = (col[3], col[4], col[5])
+
+    nin = intr_ref.shape[1]
+    IN_all = _small_gather(intr_ref, iw_ref[0, 0], nin)
+    IN = IN_all[:17]
+    imask = IN_all[17:34]
+    EX_all = _small_gather(extr_ref, ie_ref[0, 0], 13)
+    Eq0 = (EX_all[0], EX_all[1], EX_all[2], EX_all[3])
+    Et0 = (EX_all[4], EX_all[5], EX_all[6])
+    emask = EX_all[7:13]
+    BI = _small_gather(bias_ref, ib_ref[0, 0], 2)
+
+    obs0, obs1 = uv_ref[0, :], uv_ref[1, :]
+    h00, h01, h10, h11 = sh_ref[0, :], sh_ref[1, :], sh_ref[2, :], sh_ref[3, :]
+    bon = bon_ref[0, 0]
+    proj = _PROJ[kind]
+    one = jnp.ones_like(obs0)
+
+    def f(xi):
+        # xi: [pt 0:3 | pose v 3:6, w 6:9 | extr v 9:12, w 12:15 | intr 15:32]
+        pt = (P0[0] + xi[0], P0[1] + xi[1], P0[2] + xi[2])
+        dq = (one, 0.5 * xi[6], 0.5 * xi[7], 0.5 * xi[8])
+        Tq = _qmul(dq, Tq0)
+        rt = _qrot(dq, Tt0)
+        Tt = (xi[3] + rt[0], xi[4] + rt[1], xi[5] + rt[2])
+        dqe = (one, 0.5 * xi[12], 0.5 * xi[13], 0.5 * xi[14])
+        Eq = _qmul(dqe, Eq0)
+        re = _qrot(dqe, Et0)
+        Et = (xi[9] + re[0], xi[10] + re[1], xi[11] + re[2])
+        intr = [IN[j] + xi[15 + j] for j in range(17)]
+        pr = _qrot(Tq, pt)
+        pr = (pr[0] + Tt[0], pr[1] + Tt[1], pr[2] + Tt[2])
+        pc = _qrot(Eq, pr)
+        pc = (pc[0] + Et[0], pc[1] + Et[1], pc[2] + Et[2])
+        u, v = proj(intr, pc[0], pc[1], pc[2])
+        e0 = u - obs0 + bon * BI[0]
+        e1 = v - obs1 + bon * BI[1]
+        return (h00 * e0 + h01 * e1, h10 * e0 + h11 * e1, pc[2])
+
+    zeros = tuple(jnp.zeros_like(one) for _ in range(32))
+    (r0, r1, zc), lin = jax.linearize(f, zeros)
+    vjp = jax.linear_transpose(lin, zeros)
+    zero = jnp.zeros_like(one)
+    (row0,) = vjp((one, zero, zero))
+    (row1,) = vjp((zero, one, zero))
+
+    res_ref[0, :] = r0.astype(res_ref.dtype)
+    res_ref[1, :] = r1.astype(res_ref.dtype)
+    valid = (zc >= MIN_Z).astype(res_ref.dtype)
+    val_ref[0, :] = jnp.maximum(valid, pad_ref[0, 0].astype(valid.dtype))
+
+    mask32 = list(pmask) + rmask + list(emask) + list(imask)
+
+    jp_ref[:] = jnp.concatenate(
+        [jnp.concatenate([(row[c] * mask32[c])[None, :] for c in range(3)],
+                         axis=0)[None]
+         for row in (row0, row1)], axis=0).astype(jp_ref.dtype)
+    zeros6 = jnp.zeros((6, one.shape[0]), one.dtype)
+    jr_ref[:] = jnp.concatenate(
+        [jnp.concatenate(
+            [(row[c] * mask32[c])[None, :] for c in range(3, 9)] + [zeros6],
+            axis=0)[None]
+         for row in (row0, row1)], axis=0).astype(jr_ref.dtype)
+    jc_ref[:] = jnp.concatenate(
+        [jnp.concatenate(
+            [(row[c] * mask32[c])[None, :] for c in range(9, 32)],
+            axis=0)[None]
+         for row in (row0, row1)], axis=0).astype(jc_ref.dtype)
+
+
+def _run_cal(camera_kind, data, v, masks, info):
+    """Fused calib-coupled plain-visual linearize (sub-tiled like rs_fused:
+    the in-kernel-AD live set wants fine tiles; the layout's coarse tiles
+    subdivide without data movement)."""
+    if camera_kind not in _PROJ or info.prb2 == 0 or info.nhg == 0:
+        return None
+    if not seg.use_pallas(v.points) or "_rg_pt_local" not in data:
+        return None
+    nt, ts, rb, nhg = info.nt, info.ts, info.rb, info.nhg
+    nhw = info.prb2 // 128
+    N = nt * ts
+    dtype = v.points.dtype
+    SUB_TS = 1024
+    if ts > SUB_TS and ts % SUB_TS:
+        return None
+    if ts > SUB_TS:
+        sub = ts // SUB_TS
+        nt, ts = nt * sub, SUB_TS
+        rbases = jnp.repeat(data["_rb_base"].astype(jnp.int32), sub)
+        hibs = jnp.repeat(data["_rg_hib"].astype(jnp.int32), sub)
+    else:
+        rbases = data["_rb_base"].astype(jnp.int32)
+        hibs = data["_rg_hib"].astype(jnp.int32)
+
+    rig_mask = (masks.rig[:, :6].astype(dtype) if masks is not None
+                else jnp.ones((v.pose_q.shape[0], 6), dtype))
+    pt_mask = (masks.points.astype(dtype) if masks is not None
+               else jnp.ones_like(v.points))
+    intr_mask = (masks.cam_intr.astype(dtype) if masks is not None
+                 else jnp.ones_like(v.cam_intr))
+    extr_mask = (masks.cam_extr.astype(dtype) if masks is not None
+                 else jnp.ones((v.cam_extr_q.shape[0], 6), dtype))
+    poseM = jnp.concatenate([v.pose_q, v.pose_t, rig_mask], axis=1)
+    poseM, npad_r = seg._table_pad(poseM, rb)
+    ptM = seg.pt_table_to_kernel(
+        jnp.concatenate([v.points, pt_mask], axis=1), nhg)
+    intr_tab = _pad_rows(jnp.concatenate(
+        [v.cam_intr[:, :17], intr_mask[:, :17]], axis=1))
+    extr_tab = _pad_rows(jnp.concatenate(
+        [v.cam_extr_q, v.cam_extr_t, extr_mask], axis=1))
+    bias_tab = _pad_rows(v.det_bias)
+    nwp, nep, nbp = intr_tab.shape[0], extr_tab.shape[0], bias_tab.shape[0]
+    nin = intr_tab.shape[1]
+
+    ts_spec = pl.BlockSpec((1, 1, ts), lambda i, b, h: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda i, b, h: (0,) * len(shape),  # noqa: E731
+                                       memory_space=pltpu.VMEM)
+    row_spec = lambda d: pl.BlockSpec((d, ts), lambda i, b, h: (0, i),  # noqa: E731
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_visual_cal_kernel, camera_kind, rb, nhw, nhg),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nt,),
+            in_specs=[
+                ts_spec, ts_spec, ts_spec, ts_spec, ts_spec, ts_spec,
+                ts_spec,
+                row_spec(2), row_spec(4),
+                const((npad_r, 13)),
+                const((6 * nhg, 128)),
+                const((nwp, nin)),
+                const((nep, 13)),
+                const((nbp, 2)),
+            ],
+            out_specs=(
+                row_spec(2), row_spec(1),
+                pl.BlockSpec((2, 3, ts), lambda i, b, h: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 12, ts), lambda i, b, h: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 23, ts), lambda i, b, h: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((2, N), dtype),
+            jax.ShapeDtypeStruct((1, N), dtype),
+            jax.ShapeDtypeStruct((2, 3, N), dtype),
+            jax.ShapeDtypeStruct((2, 12, N), dtype),
+            jax.ShapeDtypeStruct((2, 23, N), dtype),
+        ),
+    )(
+        rbases,
+        hibs,
+        data["_rb_local"].reshape(nt, 1, ts).astype(jnp.int32),
+        data["_rg_pt_local"].reshape(nt, 1, ts).astype(jnp.int32),
+        data["intr"].reshape(nt, 1, ts).astype(jnp.int32),
+        data["extr"].reshape(nt, 1, ts).astype(jnp.int32),
+        data["bias"].reshape(nt, 1, ts).astype(jnp.int32),
+        data["_pad"].reshape(nt, 1, ts),
+        data["bias_on"].reshape(nt, 1, ts).astype(dtype),
+        data["_uvT"],
+        data["_sh4"],
+        poseM,
+        ptM,
+        intr_tab,
+        extr_tab,
+        bias_tab,
+    )
+
+
+def linearize_visual_cal_fused(camera_kind, data, v, masks, info):
+    """Fused linearize for a blocked CALIB-COUPLED plain-visual batch.
+
+    Returns (res (2,N), valid (N,), J_pt (2,3,N), J_rig (2,12,N),
+    J_cal (2,23,N) = extr 6 | intr 17), or None when inapplicable."""
+    out = _run_cal(camera_kind, data, v, masks, info)
+    if out is None:
+        return None
+    res, valid, J_pt, J_r, J_cal = out
+    return res, valid[0], J_pt, J_r, J_cal
+
+
 def linearize_visual_fused(camera_kind, data, v, masks, info):
     """Fused linearize for a blocked rig-only visual batch.
 

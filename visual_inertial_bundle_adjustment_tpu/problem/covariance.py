@@ -68,37 +68,80 @@ def _unit_tangents(v, entries):
 def prepare_system(problem, lam=1e-9):
     """Linearize ONCE and build the damped reduced system — the analog of the
     reference's single factorization reused for every covariance column
-    (Optimizer.cpp:574-604)."""
+    (Optimizer.cpp:574-604).
+
+    When the problem carries a blocked layout (large visual batches through
+    rcs.finalize_blocks) the system is assembled with the BLOCKED MXU engine
+    and columns solve against the single-pass Schur matvec kernels — the
+    capacity-scale path (round-3 VERDICT ask #4); small problems keep the
+    generic engine."""
+    from . import rcs as _rcs
+
     datas = tuple(problem.datas)
     v, masks = problem.variables, problem.masks
+    if getattr(problem, "mesh", None) is None:
+        problem._build()  # runs finalize_blocks on large visual batches
     cfgs = engine.prune_cfgs(tuple(problem.cfgs), masks)
+    blocked = (getattr(problem, "mesh", None) is None
+               and any(getattr(c, "block_info", None) for c in cfgs))
+    if blocked:
+        @jax.jit
+        def build(dd, vv, mm, lam_):
+            lg_ = engine.linearize(cfgs, dd, vv, mm)
+            asm = _rcs.assemble(cfgs, dd, lg_, vv, mm)
+            return lg_, _rcs.with_damping(asm, vv, mm, lam_)
+
+        return build(datas, v, masks, jnp.asarray(lam, v.points.dtype))
     lg = engine.linearize(cfgs, datas, v, masks)
     rs = engine.build_reduced_system(lg, v, masks, jnp.asarray(lam, v.points.dtype))
     return lg, rs
+
+
+def system_is_blocked(system) -> bool:
+    from . import rcs as _rcs
+
+    return isinstance(system[1], _rcs.RcsSystem)
 
 
 def solve_columns(problem, entries, lam=1e-9, pcg_iters=800, pcg_tol=1e-12,
                   system=None, chunk=256):
     """Columns of H^-1 (reduced part) for the requested tangent entries.
 
-    One linearization for ALL columns; the multi-RHS solve runs as vmapped
-    PCG in chunks (memory = chunk x reduced-state). Returns a stacked
+    One linearization for ALL columns. On the generic engine the multi-RHS
+    solve runs as vmapped PCG in chunks (memory = chunk x reduced-state); on
+    the blocked engine columns scan sequentially through the single-pass
+    Schur kernels (each solve stops early at pcg_tol). Returns a stacked
     Tangent with leading dim K = len(entries)."""
+    from . import rcs as _rcs
+
     v = problem.variables
     lg, rs = system if system is not None else prepare_system(problem, lam)
 
-    @jax.jit
-    def solve_chunk(b):
-        def solve_one(bb):
-            x, rel, iters = engine.pcg_solve(lg, v, rs, bb, pcg_iters, pcg_tol)
-            return x
+    if isinstance(rs, _rcs.RcsSystem):
+        @jax.jit
+        def solve_chunk(rs_, b):
+            def one(_, bb):
+                x, rel, iters = _rcs.pcg(rs_, v, bb, pcg_iters, pcg_tol)
+                return None, x
 
-        return jax.vmap(solve_one)(b)
+            _, xs = jax.lax.scan(one, None, b)
+            return xs
+        solve = lambda b: solve_chunk(rs, b)  # noqa: E731
+    else:
+        @jax.jit
+        def solve_chunk(b):
+            def solve_one(bb):
+                x, rel, iters = engine.pcg_solve(lg, v, rs, bb, pcg_iters,
+                                                 pcg_tol)
+                return x
+
+            return jax.vmap(solve_one)(b)
+        solve = solve_chunk
 
     outs = []
     for i in range(0, len(entries), chunk):
         rhs = _unit_tangents(v, entries[i:i + chunk])
-        outs.append(solve_chunk(rhs))
+        outs.append(solve(rhs))
     if len(outs) == 1:
         return outs[0]
     return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *outs)

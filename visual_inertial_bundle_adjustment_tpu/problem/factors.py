@@ -786,6 +786,27 @@ def linearize_batch(cfg: BatchCfg, data, v: VariableTables, masks: Masks) -> Lin
             return Lin(res=res, valid=valid, groups=(POINTS, RIG),
                        idx=(data["point"], data["rig"]), jac=(J_pt, J_r),
                        ell=(data.get("_ell0"), data.get("_ell1")))
+    # fused Pallas path: blocked plain-visual batch with camera intr+extr
+    # random-walking (full-sensor global-shutter) — in-kernel reverse-mode
+    # Jacobians for point/pose/extr/intr (round-3 VERDICT ask #5; reference
+    # analytic hot kernel viba/problem/VisualFactor.cpp:36-120)
+    if (cfg.kind == "visual" and getattr(cfg, "block_info", None)
+            and "_uvT" in data and cfg.active_groups is not None
+            and set(cfg.active_groups) == {POINTS, RIG, CAM_EXTR, CAM_INTR}):
+        from ..ops import visual_fused
+
+        out = visual_fused.linearize_visual_cal_fused(
+            cfg.camera_kind, data, v, masks, cfg.block_info)
+        if out is not None:
+            res, valid, J_pt, J_r, J_cal = out
+            return Lin(
+                res=res, valid=valid,
+                groups=(POINTS, RIG, CAM_EXTR, CAM_INTR),
+                idx=(data["point"], data["rig"], data["extr"], data["intr"]),
+                jac=(J_pt, J_r,
+                     jax.lax.slice_in_dim(J_cal, 0, 6, axis=1),
+                     jax.lax.slice_in_dim(J_cal, 6, 23, axis=1)),
+                ell=(None, None, None, None))
     # fused Pallas path for rolling-shutter batches: the full RS chain
     # (segment interpolation + capture-time pose shift + projection) with
     # in-kernel reverse-mode Jacobians for point/pose/vel(/extr/intr)

@@ -668,7 +668,7 @@ def _precond_finish(asm: "RcsAsm", v, masks, lam, H_ll_inv,
         B = B * m[:, :, None] * m[:, None, :] + eye * (1.0 - m)[..., None, :] * eye
         tr = jnp.trace(B, axis1=-2, axis2=-1)[..., None, None]
         B = B + eye * tr * 1e-12
-        inv[g] = jnp.linalg.inv(B)
+        inv[g] = engine._precond_inv(B)
     return Tangent(
         rig=inv[fct.RIG], cam_intr=inv[fct.CAM_INTR], cam_extr=inv[fct.CAM_EXTR],
         imu_calib=inv[fct.IMU_CALIB], imu_extr=inv[fct.IMU_EXTR],
