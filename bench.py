@@ -92,15 +92,22 @@ def build_full_sensor_problem(tmpdir):
 
 
 CAP_DURATION = 1800.0  # 30-minute capacity config (reference README.md:10-11)
-CAP_KEYFRAME_HZ = 6.0
-CAP_POINTS = 40000
+CAP_KEYFRAME_HZ = 10.0  # reference keyframe density: 18k rigs over 30 min
+CAP_POINTS = 60000
 CAP_TIMED_ITERS = 3
+# >20k-rig shape: crosses the reference's auto solver switch
+# (Settings.cpp:296-320 / Constants.h:15 — PCG with Gauss-Seidel
+# preconditioning above 20000 rigs instead of the direct mode)
+PCGSW_DURATION = 1800.0
+PCGSW_KEYFRAME_HZ = 12.0  # 21.6k rigs
+PCGSW_POINTS = 60000
 
 
-def build_capacity_problem():
-    """Config-5 shape: 30 minutes, ~10.8k rigs, 360 calibration windows,
-    finite-lifetime tracks, IMU calib random-walking — the capacity claim
-    of the reference (README.md:10-11) on ONE chip."""
+def build_capacity_problem(duration=None, keyframe_hz=None, points=None):
+    """Config-5 shape: 30 minutes at reference keyframe density (10 Hz ->
+    18k rigs), 360 calibration windows, finite-lifetime tracks, IMU calib
+    random-walking — the capacity claim of the reference (README.md:10-11)
+    on ONE chip."""
     from visual_inertial_bundle_adjustment_tpu.pipeline.builder import (
         BuildOptions,
         build_synthetic_problem,
@@ -108,9 +115,10 @@ def build_capacity_problem():
     from visual_inertial_bundle_adjustment_tpu.pipeline.synthetic import SyntheticSession
 
     s = SyntheticSession(
-        duration=CAP_DURATION, keyframe_hz=CAP_KEYFRAME_HZ, gyro_hz=150.0,
-        accel_hz=150.0, num_points=CAP_POINTS, seed=31, pixel_noise=0.3,
-        track_lifetime_sec=12.0,
+        duration=duration or CAP_DURATION,
+        keyframe_hz=keyframe_hz or CAP_KEYFRAME_HZ, gyro_hz=150.0,
+        accel_hz=150.0, num_points=points or CAP_POINTS, seed=31,
+        pixel_noise=0.3, track_lifetime_sec=12.0,
     )
     return build_synthetic_problem(
         s,
@@ -161,6 +169,34 @@ def run_capacity():
         return ips, hbm
     except Exception as e:  # noqa: BLE001
         sys.stderr.write(f"capacity config failed: {e}\n")
+        return None, None
+
+
+def run_pcg_switch():
+    """>20k rigs: the scale where the reference's pickSolverType switches to
+    Gauss-Seidel-preconditioned PCG (Settings.cpp:296-320). Asserts our
+    pick_solver makes the same choice and times the iteration in that mode."""
+    try:
+        from visual_inertial_bundle_adjustment_tpu.problem.optimizer import (
+            LMSettings,
+            pick_solver,
+        )
+
+        _note("building >20k-rig PCG-switch problem...")
+        problem = build_capacity_problem(
+            PCGSW_DURATION, PCGSW_KEYFRAME_HZ, PCGSW_POINTS)
+        n_rigs = int(problem.variables.pose_q.shape[0])
+        st = pick_solver(LMSettings(), n_rigs, "auto")
+        assert not st.direct_mode and st.preconditioner == "gauss_seidel", (
+            n_rigs, st.direct_mode, st.preconditioner)
+        _note(f"pcg-switch: {n_rigs} rigs -> auto solver = "
+              f"pcg/{st.preconditioner}; timing...")
+        ips, _ = timed_iterations(problem, CAP_TIMED_ITERS,
+                                  pcg_iters=st.pcg_max_iterations)
+        _note(f"pcg-switch {n_rigs} rigs: {ips:.3f} iters/s")
+        return ips, n_rigs
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"pcg-switch config failed: {e}\n")
         return None, None
 
 
@@ -315,6 +351,7 @@ def main():
     ips = run_device()
     full_ips, full_problem = run_full_sensor()
     cap_ips, cap_hbm = run_capacity()
+    sw_ips, sw_rigs = run_pcg_switch()
     full_cpu_ips = run_full_sensor_cpu(full_problem)
     del full_problem
     _note("running CPU reference-direct baseline...")
@@ -337,6 +374,10 @@ def main():
                         round(cap_ips, 4) if cap_ips else None
                     ),
                     "capacity_30min_peak_hbm_gb": cap_hbm,
+                    "pcg_switch_iters_per_sec": (
+                        round(sw_ips, 4) if sw_ips else None
+                    ),
+                    "pcg_switch_num_rigs": sw_rigs,
                     "full_sensor_cpu_same_algorithm_iters_per_sec": (
                         round(full_cpu_ips, 5) if full_cpu_ips else None
                     ),

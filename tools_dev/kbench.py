@@ -45,18 +45,26 @@ def mkdata(seed=0):
         x_r=x_r, x_c=x_c, hinv=hinv, res=res).items()}
 
 
-def marginal(make, k1=1, k2=3, n=5, tag="", args=()):
+def marginal(make, k1=1, k2=21, n=3, tag="", args=()):
+    """Marginal per-kernel-call device time: k in-jit chained calls, timed
+    end-to-end with a SCALAR FETCH (float()) per repetition.
+
+    Through the axon tunnel `jax.block_until_ready` does not wait for remote
+    execution, and identical execution requests are served from a cache —
+    so (a) every timing repetition must force a sync via an actual value
+    fetch, and (b) the in-jit loop must chain data dependencies so the k
+    calls cannot collapse. The k2-k1 marginal removes the per-call RPC
+    round-trip (~40 ms) that would otherwise swamp the kernel time."""
     f1, f2 = jax.jit(make(k1)), jax.jit(make(k2))
 
     def t(f):
-        o = f(*args)
-        jax.block_until_ready(o)
-        o = f(*args)
-        jax.block_until_ready(o)
+        # each repetition gets a DISTINCT seed scalar: identical execution
+        # requests would be served from the tunnel cache, not the device
+        _ = float(f(*args, jnp.float32(0.5)))
+        _ = float(f(*args, jnp.float32(0.75)))
         t0 = time.time()
-        for _ in range(n):
-            o = f(*args)
-        jax.block_until_ready(o)
+        for _i in range(n):
+            _ = float(f(*args, jnp.float32(1.0 + 0.001 * _i)))
         return (time.time() - t0) / n
     t1, t2 = t(f1), t(f2)
     m = (t2 - t1) / (k2 - k1)
@@ -66,9 +74,9 @@ def marginal(make, k1=1, k2=3, n=5, tag="", args=()):
 
 def bench_matvec(d):
     def down(k):
-        def f(d):
+        def f(d, s):
             acc = 0.0
-            xr = d["x_r"]
+            xr = d["x_r"] * s
             for i in range(k):
                 y_r, y_c, t = seg.seg_schur_down_cal(
                     d["J_r"], d["J_c"], d["J_p"], d["w"], d["rig_local"],
@@ -81,9 +89,9 @@ def bench_matvec(d):
     marginal(down, tag="seg_schur_down_cal", args=(d,))
 
     def up(k):
-        def f(d):
+        def f(d, s):
             acc = 0.0
-            z = jnp.ones((N_PTS, 3), jnp.float32)
+            z = jnp.full((N_PTS, 3), s, jnp.float32)
             for i in range(k):
                 y_r, y_c = seg.seg_schur_up_cal(
                     d["J_r"], d["J_c"], d["J_p"], d["w"], d["rig_local"],
@@ -96,9 +104,9 @@ def bench_matvec(d):
     marginal(up, tag="seg_schur_up_cal", args=(d,))
 
     def fused(k):
-        def f(d):
+        def f(d, s):
             acc = 0.0
-            xr = d["x_r"]
+            xr = d["x_r"] * s
             for i in range(k):
                 y_r, y_c = seg.seg_schur_pcg_cal(
                     d["J_r"], d["J_c"], d["J_p"], d["w"], d["rig_local"],
@@ -113,11 +121,11 @@ def bench_matvec(d):
 
 def bench_precond(d):
     def pre(k):
-        def f(d):
+        def f(d, s):
             acc = 0.0
             for i in range(k):
                 B = seg.seg_precond_rig(
-                    d["J_r"], d["J_p"], d["w"] * (1 + 1e-6 * i),
+                    d["J_r"], d["J_p"], d["w"] * (s + 1e-6 * i),
                     d["rig_local"], d["pt_local"], d["hib"], d["hinv"],
                     d["r_bases"], NT, TS, RB, NHW, NHG, N_R)
                 acc = acc + B[0, 0, 0]
@@ -128,12 +136,12 @@ def bench_precond(d):
 
 def bench_assemble(d):
     def asm(k):
-        def f(d):
+        def f(d, s):
             acc = 0.0
             for i in range(k):
                 out = seg.seg_assemble_cal(
                     d["J_r"], d["J_c"], d["J_p"], d["res"],
-                    d["w"] * (1 + 1e-6 * i), d["rig_local"], d["cal_local"],
+                    d["w"] * (s + 1e-6 * i), d["rig_local"], d["cal_local"],
                     d["pt_local"], d["hib"], d["r_bases"], d["c_bases"],
                     N_PTS, NT, TS, RB, WB, NHW, NHG, N_R, N_C, (6, 17))
                 acc = acc + out[0][0, 0]

@@ -178,18 +178,36 @@ def _rs_kernel(kind, rb, nhw, nhg, K, with_jac, with_cal, *refs):
     # all chosen at the PRIMAL readout/time-offset (locally constant under
     # AD, like the outside rs_segment_lookup) ---
     cp.wait()
-    sl = slab_vmem[...]  # (rb, SEG_COMPS*K)
+    sl = slab_vmem[...]  # (rb, >= SEG_COMPS*K)
     dtt0 = IN[15] * tpf - IN[16]
-    dtK = seg._sel_dot(sl[:, 0:K], ohr, ((0,), (0,)))  # (K, ts)
+    # STACKED selection dots gather several components' K rows at once (K is
+    # a sublane multiple, so the per-component slices are aligned): a dot
+    # per component would pad each K~24 to the 128-row MXU tile, ~5x the
+    # cycles. Groups stay <= 128 rows so each (rows, ts) f32 block and its
+    # split-accumulation temporaries stay small (a single 20K-row stack blew
+    # the 16 MiB scoped-VMEM limit at ts=1024).
+    group = max(1, 128 // K)
+
+    def _slab_rows(g0, g1):
+        blk = seg._sel_dot(sl[:, g0 * K:g1 * K], ohr, ((0,), (0,)))
+        return [jax.lax.slice_in_dim(blk, (c - g0) * K, (c - g0 + 1) * K,
+                                     axis=0) for c in range(g0, g1)]
+
+    rows0 = _slab_rows(0, min(group, SEG_COMPS))
+    dtK = rows0[0]  # (K, ts)
     cnt = jnp.sum((dtK <= dtt0[None, :]).astype(jnp.float32), axis=0)
     idx = cnt.astype(jnp.int32)
     seg_i = jnp.maximum(idx - 1, 0)
     segv = (idx > 0) & (cnt < countL)
     ohK = seg._oh_t(seg_i, K)  # (K, ts) bool
 
+    _vals = [jnp.sum(jnp.where(ohK, r, 0.0), axis=0) for r in rows0]
+    for g0 in range(group, SEG_COMPS, group):
+        for r in _slab_rows(g0, min(g0 + group, SEG_COMPS)):
+            _vals.append(jnp.sum(jnp.where(ohK, r, 0.0), axis=0))
+
     def seg_comp(c):
-        row = seg._sel_dot(sl[:, c * K:(c + 1) * K], ohr, ((0,), (0,)))
-        return jnp.sum(jnp.where(ohK, row, 0.0), axis=0)
+        return _vals[c]
 
     seg_dt = seg_comp(0)
     seg_dt = jnp.where(seg_dt > BIG * 0.5, 0.0, seg_dt)
@@ -303,18 +321,27 @@ def _rs_kernel(kind, rb, nhw, nhg, K, with_jac, with_cal, *refs):
 
 
 def _rs_slab(tables, dtype):
-    """(R, SEG_COMPS*K) resident slab, slab[r, c*K + k]; +inf dt padding
-    replaced by the finite BIG sentinel (bf16-split-safe)."""
+    """(R, SEG_COMPS*K8) resident slab, slab[r, c*K8 + k]; K8 = K rounded up
+    to a sublane multiple so the stacked in-kernel gather (ONE selection dot
+    over all SEG_COMPS*K8 rows — a per-component dot would pad each K~23 to
+    the 128-row MXU tile, ~5x the cycles) can slice per component at aligned
+    offsets. +inf dt entries (incl. the K->K8 pad rows) become the finite
+    BIG sentinel (bf16-split-safe); other components pad with zero (never
+    selected: seg_i < count <= K)."""
     R, K = tables.dt.shape
+    K8 = ((K + 7) // 8) * 8
     dt = jnp.where(jnp.isfinite(tables.dt), tables.dt, BIG)
     comps = jnp.concatenate([
         dt[..., None], tables.q, tables.dV, tables.dP,
         tables.i_gyro, tables.i_accel, tables.i_dvel,
     ], axis=-1)  # (R, K, SEG_COMPS)
-    slab = jnp.moveaxis(comps, -1, 1).reshape(R, SEG_COMPS * K).astype(dtype)
+    if K8 != K:
+        comps = jnp.pad(comps, ((0, 0), (0, K8 - K), (0, 0)))
+        comps = comps.at[:, K:, 0].set(BIG)
+    slab = jnp.moveaxis(comps, -1, 1).reshape(R, SEG_COMPS * K8).astype(dtype)
     w = slab.shape[1]
     wp = -(-w // 128) * 128  # DMA slices must be lane-tile (128) aligned
-    return jnp.pad(slab, ((0, 0), (0, wp - w)))
+    return jnp.pad(slab, ((0, 0), (0, wp - w))), K8
 
 
 def _run_rs(camera_kind, data, v, masks, info, with_jac, with_cal):
@@ -369,7 +396,8 @@ def _run_rs(camera_kind, data, v, masks, info, with_jac, with_cal):
     nwp, nep = intr_tab.shape[0], extr_tab.shape[0]
     nin = intr_tab.shape[1]
 
-    slab, _ = seg._table_pad(_rs_slab(tables, dtype), rb)
+    slab_raw, K8 = _rs_slab(tables, dtype)
+    slab, _ = seg._table_pad(slab_raw, rb)
     grav = jnp.asarray(tables.gravity_w, dtype).reshape(1, 3)
 
     ts_spec = pl.BlockSpec((1, 1, ts), lambda i, b, h: (i, 0, 0),
@@ -396,7 +424,8 @@ def _run_rs(camera_kind, data, v, masks, info, with_jac, with_cal):
                 memory_space=pltpu.VMEM))
             out_shape.append(jax.ShapeDtypeStruct((2, 23, N), dtype))
     return pl.pallas_call(
-        partial(_rs_kernel, camera_kind, rb, nhw, nhg, K, with_jac, with_cal),
+        partial(_rs_kernel, camera_kind, rb, nhw, nhg, K8, with_jac,
+                with_cal),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nt,),

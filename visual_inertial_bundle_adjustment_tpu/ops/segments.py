@@ -972,9 +972,13 @@ def seg_schur_down_cal(J_r, J_c, J_p, w, rig_local, cal_local, pt_local, hib,
       y_c (n_c, kc)  = seg_cal  J_c^T w u
       t   (n_pts, 3) = seg_pt   J_p^T w u
     with u = J_r x_r[rig] + J_c x_c[cal] — the full H x and W^T x of the
-    batch, every table VMEM-resident."""
+    batch, every table VMEM-resident. J_c may carry sublane-alignment pad
+    columns beyond x_c's width (zeros, see rcs._vis_batches); x_c is padded
+    to match and y_c's pad columns come back zero."""
     d, k, _ = J_r.shape
     kc = J_c.shape[1]
+    if x_c.shape[1] < kc:
+        x_c = jnp.pad(x_c, ((0, 0), (0, kc - x_c.shape[1])))
     n_r, n_c = x_r.shape[0], x_c.shape[0]
     if not use_pallas(w):
         J_r, J_c, J_p = (J_r.astype(w.dtype), J_c.astype(w.dtype),
@@ -1197,71 +1201,100 @@ def _pcg_chol_inplace(t_scr, hinv_ref, nhg):
         t_scr[pl.ds(a * nhg, nhg), :] = zs[a]
 
 
-def _schur_pcg_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
-                      w_ref, x_ref, hinv_ref, jr_ref, jp_ref, y_ref, t_scr):
-    p, i, c = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+def _zk_solve(t, hk, nhg):
+    """z = H_ll^-1 t on (3*nhg, 128) kernel-layout tables, in XLA (between
+    the down-light and up-du kernels): pure slab elementwise ops, no
+    relayout of the point tables."""
+    ts_ = [jax.lax.slice_in_dim(t, b * nhg, (b + 1) * nhg, axis=0)
+           for b in range(3)]
+    zs = []
+    for a in range(3):
+        acc = None
+        for b in range(3):
+            h = jax.lax.slice_in_dim(hk, (3 * a + b) * nhg,
+                                     (3 * a + b + 1) * nhg, axis=0)
+            acc = h * ts_[b] if acc is None else acc + h * ts_[b]
+        zs.append(acc)
+    return jnp.concatenate(zs, axis=0)
+
+
+# The PCG-loop Schur matvec y = H x - W H_ll^-1 W^T x runs as TWO kernels
+# with the per-observation down-pass products wu = w J x staged through HBM
+# (a (2, N) f32 round-trip, ~30 us at bench scale) and the landmark solve as
+# slab elementwise XLA between them. This leaves 4 full-size MXU selection
+# dots per chunk (gather x, point scatter, point gather, combined
+# J^T w (u - u2) scatter) — down from 8 when down/solve/up ran as phases of
+# one kernel (each phase re-derived u, and each pass scattered separately).
+# Selection-dot cost on the MXU is set by the 128-row hardware tile, not by
+# the column counts, so the calib-window columns stack into the rig dots for
+# free when rb + wb <= 128 (finalize_blocks tiles cal-coupled batches at
+# rb=112 for exactly this reason).
+
+
+def _down_light_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
+                       w_ref, x_ref, jr_ref, jp_ref, t_ref, wu_ref):
+    i, c = pl.program_id(0), pl.program_id(1)
     base = pl.multiple_of(rbases_ref[i], 8)
     hb = pl.multiple_of(hib_ref[i], 8)
 
-    @pl.when((p == 0) & (i == 0) & (c == 0))
+    @pl.when((i == 0) & (c == 0))
     def _():
-        y_ref[:] = jnp.zeros_like(y_ref)
-        t_scr[:] = jnp.zeros_like(t_scr)
+        t_ref[:] = jnp.zeros_like(t_ref)
 
     hi, lo = _hi_lo(ploc_ref[0, 0])
-    ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)  # (128, tsc)
-    ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, tsc)
-    w = w_ref[0, 0]
+    ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)
+    ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)
+    xgT = _SEL_DOT_MV(x_ref[pl.ds(base, rb), :], ohr, ((0,), (0,)))
+    Jr = jr_ref[:].astype(xgT.dtype)
+    wu = jnp.sum(Jr * xgT[None, :, :], axis=1) * w_ref[0, 0][None, :]
+    wu_ref[:] = wu.astype(wu_ref.dtype)
+    ohhi = _oh_t(hi, nhw).astype(wu.dtype)
+    contrib_p = jnp.sum(jp_ref[:].astype(wu.dtype) * wu[:, None, :], axis=0)
+    MT = jnp.concatenate(
+        [ohhi * contrib_p[j][None, :] for j in range(3)], axis=0)
+    P = _SEL_DOT_MV(MT, ohlo, ((1,), (1,)))
+    for j in range(3):
+        t_ref[pl.ds(j * nhg + hb, nhw), :] = (
+            t_ref[pl.ds(j * nhg + hb, nhw), :]
+            + P[j * nhw:(j + 1) * nhw].astype(t_ref.dtype))
 
-    @pl.when(p == 0)
-    def _down():
-        xt = x_ref[pl.ds(base, rb), :]
-        xgT = _SEL_DOT_MV(xt, ohr, ((0,), (0,)))  # (k, tsc)
-        Jr = jr_ref[:].astype(xgT.dtype)
-        wu = jnp.sum(Jr * xgT[None, :, :], axis=1) * w[None, :]
-        contrib_r = jnp.sum(Jr * wu[:, None, :], axis=0)
-        part = _SEL_DOT_MV(ohr, contrib_r, ((1,), (1,)))
-        y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
-                                     + part.astype(y_ref.dtype))
-        ohhi = _oh_t(hi, nhw).astype(wu.dtype)
-        contrib_p = jnp.sum(jp_ref[:].astype(wu.dtype) * wu[:, None, :],
-                            axis=0)
-        MT = jnp.concatenate(
-            [ohhi * contrib_p[j][None, :] for j in range(3)], axis=0)
-        P = _SEL_DOT_MV(MT, ohlo, ((1,), (1,)))  # (3*nhw, 128)
-        for j in range(3):
-            t_scr[pl.ds(j * nhg + hb, nhw), :] = (
-                t_scr[pl.ds(j * nhg + hb, nhw), :]
-                + P[j * nhw:(j + 1) * nhw].astype(t_scr.dtype))
 
-    @pl.when((p == 1) & (i == 0) & (c == 0))
-    def _chol():
-        _pcg_chol_inplace(t_scr, hinv_ref, nhg)
+def _up_du_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
+                  w_ref, zk_ref, wu_ref, jr_ref, jp_ref, y_ref):
+    i, c = pl.program_id(0), pl.program_id(1)
+    base = pl.multiple_of(rbases_ref[i], 8)
+    hb = pl.multiple_of(hib_ref[i], 8)
 
-    @pl.when(p == 1)
-    def _up():
-        ohhi = _oh_t(hi, nhw)  # bool
-        Zw = jnp.concatenate(
-            [t_scr[pl.ds(j * nhg + hb, nhw), :] for j in range(3)], axis=0)
-        Gt = _SEL_DOT_MV(Zw, ohlo, ((1,), (0,)))  # (3*nhw, tsc)
-        Jp = jp_ref[:].astype(w_ref.dtype)
-        u2 = jnp.zeros((Jp.shape[0], lo.shape[0]), Jp.dtype)
-        for j in range(3):
-            zg_j = jnp.sum(
-                jnp.where(ohhi, Gt[j * nhw:(j + 1) * nhw, :], 0.0), axis=0)
-            u2 = u2 + Jp[:, j, :] * zg_j.astype(Jp.dtype)[None, :]
-        wu2 = u2 * w[None, :]
-        contrib = jnp.sum(jr_ref[:].astype(wu2.dtype) * wu2[:, None, :],
-                          axis=0)
-        part = _SEL_DOT_MV(ohr, contrib, ((1,), (1,)))
-        y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
-                                     - part.astype(y_ref.dtype))
+    @pl.when((i == 0) & (c == 0))
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    hi, lo = _hi_lo(ploc_ref[0, 0])
+    ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)
+    ohhi = _oh_t(hi, nhw)  # bool
+    Zw = jnp.concatenate(
+        [zk_ref[pl.ds(j * nhg + hb, nhw), :] for j in range(3)], axis=0)
+    Gt = _SEL_DOT_MV(Zw, ohlo, ((1,), (0,)))  # (3*nhw, tsc)
+    Jp = jp_ref[:].astype(w_ref.dtype)
+    u2 = jnp.zeros((Jp.shape[0], lo.shape[0]), Jp.dtype)
+    for j in range(3):
+        zg_j = jnp.sum(
+            jnp.where(ohhi, Gt[j * nhw:(j + 1) * nhw, :], 0.0), axis=0)
+        u2 = u2 + Jp[:, j, :] * zg_j.astype(Jp.dtype)[None, :]
+    du = wu_ref[:] - u2 * w_ref[0, 0][None, :]  # w (u - u2)
+    contrib = jnp.sum(jr_ref[:].astype(du.dtype) * du[:, None, :], axis=0)
+    ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)
+    part = _SEL_DOT_MV(ohr, contrib, ((1,), (1,)))
+    y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
+                                 + part.astype(y_ref.dtype))
 
 
 def seg_schur_pcg(J_r, J_p, w, rig_local, pt_local, hib, x_table, hinv,
                   r_bases, n_pts, nt, ts, rb, nhw, nhg):
     """y (n_rows, k) = seg_rig[ J_r^T w J_r x ] - W H_ll^-1 W^T x for one
-    rig-only visual batch, fused down+solve+up (see module comment above)."""
+    rig-only visual batch (the reference per-iteration solve composition,
+    lib/small_thing/Optimizer.cpp:269-331); see the module comment above
+    for the two-kernel structure."""
     d, k, _ = J_r.shape
     n_rows = x_table.shape[0]
     if not use_pallas(w):
@@ -1275,133 +1308,165 @@ def seg_schur_pcg(J_r, J_p, w, rig_local, pt_local, hib, x_table, hinv,
     nc = ts // tsc
     xp, npad = _table_pad(x_table, rb)
     hk = pt_table_to_kernel(hinv.reshape(-1, 9), nhg)  # (9*nhg, 128)
-    y = pl.pallas_call(
-        partial(_schur_pcg_kernel, rb, nhw, nhg),
+    loc_spec = lambda: pl.BlockSpec(  # noqa: E731
+        (1, 1, tsc), lambda i, c, b, h: (i, 0, c), memory_space=pltpu.VMEM)
+    jr_spec = pl.BlockSpec((d, k, tsc),
+                           lambda i, c, b, h: (0, 0, i * (ts // tsc) + c),
+                           memory_space=pltpu.VMEM)
+    jp_spec = pl.BlockSpec((d, 3, tsc),
+                           lambda i, c, b, h: (0, 0, i * (ts // tsc) + c),
+                           memory_space=pltpu.VMEM)
+    wu_spec = pl.BlockSpec((d, tsc),
+                           lambda i, c, b, h: (0, i * (ts // tsc) + c),
+                           memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec((3 * nhg, 128), lambda i, c, b, h: (0, 0),
+                            memory_space=pltpu.VMEM)
+    scalars = (r_bases.astype(jnp.int32), hib.astype(jnp.int32))
+    locs = (rig_local.reshape(nt, 1, ts).astype(jnp.int32),
+            pt_local.reshape(nt, 1, ts).astype(jnp.int32),
+            w.reshape(nt, 1, ts))
+    t, wu = pl.pallas_call(
+        partial(_down_light_kernel, rb, nhw, nhg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(2, nt, nc),
-            in_specs=[
-                pl.BlockSpec((1, 1, tsc), lambda p, i, c, b, h: (i, 0, c),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, tsc), lambda p, i, c, b, h: (i, 0, c),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, tsc), lambda p, i, c, b, h: (i, 0, c),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((npad, k), lambda p, i, c, b, h: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((9 * nhg, 128), lambda p, i, c, b, h: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, k, tsc),
-                             lambda p, i, c, b, h: (0, 0, i * (ts // tsc) + c),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, 3, tsc),
-                             lambda p, i, c, b, h: (0, 0, i * (ts // tsc) + c),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((npad, k), lambda p, i, c, b, h: (0, 0),
+            grid=(nt, nc),
+            in_specs=[loc_spec(), loc_spec(), loc_spec(),
+                      pl.BlockSpec((npad, k), lambda i, c, b, h: (0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((3 * nhg, 128), w.dtype)],
+                      jr_spec, jp_spec],
+            out_specs=(tab_spec, wu_spec),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((3 * nhg, 128), w.dtype),
+                   jax.ShapeDtypeStruct((d, nt * ts), w.dtype)),
+    )(*scalars, *locs, xp, J_r, J_p)
+    zk = _zk_solve(t, hk, nhg)
+    y = pl.pallas_call(
+        partial(_up_du_kernel, rb, nhw, nhg),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nt, nc),
+            in_specs=[loc_spec(), loc_spec(), loc_spec(),
+                      tab_spec, wu_spec, jr_spec, jp_spec],
+            out_specs=pl.BlockSpec((npad, k), lambda i, c, b, h: (0, 0),
+                                   memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((npad, k), w.dtype),
-    )(
-        r_bases.astype(jnp.int32),
-        hib.astype(jnp.int32),
-        rig_local.reshape(nt, 1, ts).astype(jnp.int32),
-        pt_local.reshape(nt, 1, ts).astype(jnp.int32),
-        w.reshape(nt, 1, ts),
-        xp,
-        hk,
-        J_r,
-        J_p,
-    )
+    )(*scalars, *locs, zk, wu, J_r, J_p)
     return y[:n_rows]
 
 
-def _schur_pcg_cal_kernel(rb, wb, nhw, nhg, rbases_ref, cbases_ref, hib_ref,
-                          rloc_ref, cloc_ref, ploc_ref, w_ref, xr_ref, xc_ref,
-                          hinv_ref, jr_ref, jc_ref, jp_ref, yr_ref, yc_ref,
-                          t_scr):
-    p, i, c = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+def _down_light_cal_kernel(rb, wb, nhw, nhg, rbases_ref, cbases_ref, hib_ref,
+                           rloc_ref, cloc_ref, ploc_ref, w_ref, xr_ref,
+                           xc_ref, jr_ref, jc_ref, jp_ref, t_ref, wu_ref):
+    i, c = pl.program_id(0), pl.program_id(1)
     base = pl.multiple_of(rbases_ref[i], 8)
     cb = pl.multiple_of(cbases_ref[i], 8)
     hb = pl.multiple_of(hib_ref[i], 8)
 
-    @pl.when((p == 0) & (i == 0) & (c == 0))
+    @pl.when((i == 0) & (c == 0))
+    def _():
+        t_ref[:] = jnp.zeros_like(t_ref)
+
+    hi, lo = _hi_lo(ploc_ref[0, 0])
+    ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)
+    k, kc = jr_ref.shape[1], jc_ref.shape[1]
+    if rb + wb <= 128:
+        # stacked block-diag gather: ONE 128-row selection dot for both
+        # tables; cal columns first (kc sublane-aligned via the J_cal pad in
+        # rcs._vis_batches) so both xg slices start 8-aligned
+        ohrc = jnp.concatenate(
+            [_oh_t(rloc_ref[0, 0], rb), _oh_t(cloc_ref[0, 0], wb)],
+            axis=0).astype(jnp.bfloat16)
+        xr = xr_ref[pl.ds(base, rb), :]
+        xc = xc_ref[pl.ds(cb, wb), :]
+        xt = jnp.concatenate([
+            jnp.concatenate([jnp.zeros((rb, kc), xr.dtype), xr], axis=1),
+            jnp.concatenate([xc, jnp.zeros((wb, k), xc.dtype)], axis=1),
+        ], axis=0)
+        xg = _SEL_DOT_MV(xt, ohrc, ((0,), (0,)))  # (kc+k, tsc)
+        xg_c = jax.lax.slice_in_dim(xg, 0, kc, axis=0)
+        xg_r = jax.lax.slice_in_dim(xg, kc, kc + k, axis=0)
+    else:
+        ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)
+        ohc = _oh_t(cloc_ref[0, 0], wb).astype(jnp.bfloat16)
+        xg_r = _SEL_DOT_MV(xr_ref[pl.ds(base, rb), :], ohr, ((0,), (0,)))
+        xg_c = _SEL_DOT_MV(xc_ref[pl.ds(cb, wb), :], ohc, ((0,), (0,)))
+    u = (jnp.sum(jr_ref[:].astype(xg_r.dtype) * xg_r[None, :, :], axis=1)
+         + jnp.sum(jc_ref[:].astype(xg_c.dtype) * xg_c[None, :, :], axis=1))
+    wu = u * w_ref[0, 0][None, :]
+    wu_ref[:] = wu.astype(wu_ref.dtype)
+    ohhi = _oh_t(hi, nhw).astype(wu.dtype)
+    contrib_p = jnp.sum(jp_ref[:].astype(wu.dtype) * wu[:, None, :], axis=0)
+    MT = jnp.concatenate(
+        [ohhi * contrib_p[j][None, :] for j in range(3)], axis=0)
+    P = _SEL_DOT_MV(MT, ohlo, ((1,), (1,)))
+    for j in range(3):
+        t_ref[pl.ds(j * nhg + hb, nhw), :] = (
+            t_ref[pl.ds(j * nhg + hb, nhw), :]
+            + P[j * nhw:(j + 1) * nhw].astype(t_ref.dtype))
+
+
+def _up_du_cal_kernel(rb, wb, nhw, nhg, rbases_ref, cbases_ref, hib_ref,
+                      rloc_ref, cloc_ref, ploc_ref, w_ref, zk_ref, wu_ref,
+                      jr_ref, jc_ref, jp_ref, yr_ref, yc_ref):
+    i, c = pl.program_id(0), pl.program_id(1)
+    base = pl.multiple_of(rbases_ref[i], 8)
+    cb = pl.multiple_of(cbases_ref[i], 8)
+    hb = pl.multiple_of(hib_ref[i], 8)
+
+    @pl.when((i == 0) & (c == 0))
     def _():
         yr_ref[:] = jnp.zeros_like(yr_ref)
         yc_ref[:] = jnp.zeros_like(yc_ref)
-        t_scr[:] = jnp.zeros_like(t_scr)
 
     hi, lo = _hi_lo(ploc_ref[0, 0])
-    ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)  # (128, tsc)
-    ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, tsc)
-    ohc = _oh_t(cloc_ref[0, 0], wb).astype(jnp.bfloat16)  # (wb, tsc)
-    w = w_ref[0, 0]
-
-    @pl.when(p == 0)
-    def _down():
-        xgT_r = _SEL_DOT_MV(xr_ref[pl.ds(base, rb), :], ohr, ((0,), (0,)))
-        xgT_c = _SEL_DOT_MV(xc_ref[pl.ds(cb, wb), :], ohc, ((0,), (0,)))
-        Jr = jr_ref[:].astype(xgT_r.dtype)
-        Jc = jc_ref[:].astype(xgT_c.dtype)
-        u = (jnp.sum(Jr * xgT_r[None, :, :], axis=1)
-             + jnp.sum(Jc * xgT_c[None, :, :], axis=1))
-        wu = u * w[None, :]
-        contrib_r = jnp.sum(Jr * wu[:, None, :], axis=0)
+    ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)
+    ohhi = _oh_t(hi, nhw)  # bool
+    k, kc = jr_ref.shape[1], jc_ref.shape[1]
+    Zw = jnp.concatenate(
+        [zk_ref[pl.ds(j * nhg + hb, nhw), :] for j in range(3)], axis=0)
+    Gt = _SEL_DOT_MV(Zw, ohlo, ((1,), (0,)))
+    Jp = jp_ref[:].astype(w_ref.dtype)
+    u2 = jnp.zeros((Jp.shape[0], lo.shape[0]), Jp.dtype)
+    for j in range(3):
+        zg_j = jnp.sum(
+            jnp.where(ohhi, Gt[j * nhw:(j + 1) * nhw, :], 0.0), axis=0)
+        u2 = u2 + Jp[:, j, :] * zg_j.astype(Jp.dtype)[None, :]
+    du = wu_ref[:] - u2 * w_ref[0, 0][None, :]  # w (u - u2)
+    contrib_r = jnp.sum(jr_ref[:].astype(du.dtype) * du[:, None, :], axis=0)
+    contrib_c = jnp.sum(jc_ref[:].astype(du.dtype) * du[:, None, :], axis=0)
+    if rb + wb <= 128:
+        ohrc = jnp.concatenate(
+            [_oh_t(rloc_ref[0, 0], rb), _oh_t(cloc_ref[0, 0], wb)],
+            axis=0).astype(jnp.bfloat16)
+        contrib = jnp.concatenate([contrib_c, contrib_r], axis=0)
+        part = _SEL_DOT_MV(ohrc, contrib, ((1,), (1,)))  # (rb+wb, kc+k)
+        yr_ref[pl.ds(base, rb), :] = (yr_ref[pl.ds(base, rb), :]
+                                      + part[:rb, kc:].astype(yr_ref.dtype))
+        yc_ref[pl.ds(cb, wb), :] = (yc_ref[pl.ds(cb, wb), :]
+                                    + part[rb:, :kc].astype(yc_ref.dtype))
+    else:
+        ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)
+        ohc = _oh_t(cloc_ref[0, 0], wb).astype(jnp.bfloat16)
         part_r = _SEL_DOT_MV(ohr, contrib_r, ((1,), (1,)))
+        part_c = _SEL_DOT_MV(ohc, contrib_c, ((1,), (1,)))
         yr_ref[pl.ds(base, rb), :] = (yr_ref[pl.ds(base, rb), :]
                                       + part_r.astype(yr_ref.dtype))
-        contrib_c = jnp.sum(Jc * wu[:, None, :], axis=0)
-        part_c = _SEL_DOT_MV(ohc, contrib_c, ((1,), (1,)))
         yc_ref[pl.ds(cb, wb), :] = (yc_ref[pl.ds(cb, wb), :]
                                     + part_c.astype(yc_ref.dtype))
-        ohhi = _oh_t(hi, nhw).astype(wu.dtype)
-        contrib_p = jnp.sum(jp_ref[:].astype(wu.dtype) * wu[:, None, :],
-                            axis=0)
-        MT = jnp.concatenate(
-            [ohhi * contrib_p[j][None, :] for j in range(3)], axis=0)
-        P = _SEL_DOT_MV(MT, ohlo, ((1,), (1,)))
-        for j in range(3):
-            t_scr[pl.ds(j * nhg + hb, nhw), :] = (
-                t_scr[pl.ds(j * nhg + hb, nhw), :]
-                + P[j * nhw:(j + 1) * nhw].astype(t_scr.dtype))
-
-    @pl.when((p == 1) & (i == 0) & (c == 0))
-    def _chol():
-        _pcg_chol_inplace(t_scr, hinv_ref, nhg)
-
-    @pl.when(p == 1)
-    def _up():
-        ohhi = _oh_t(hi, nhw)  # bool
-        Zw = jnp.concatenate(
-            [t_scr[pl.ds(j * nhg + hb, nhw), :] for j in range(3)], axis=0)
-        Gt = _SEL_DOT_MV(Zw, ohlo, ((1,), (0,)))
-        Jp = jp_ref[:].astype(w_ref.dtype)
-        u2 = jnp.zeros((Jp.shape[0], lo.shape[0]), Jp.dtype)
-        for j in range(3):
-            zg_j = jnp.sum(
-                jnp.where(ohhi, Gt[j * nhw:(j + 1) * nhw, :], 0.0), axis=0)
-            u2 = u2 + Jp[:, j, :] * zg_j.astype(Jp.dtype)[None, :]
-        wu2 = u2 * w[None, :]
-        contrib_r = jnp.sum(jr_ref[:].astype(wu2.dtype) * wu2[:, None, :],
-                            axis=0)
-        part_r = _SEL_DOT_MV(ohr, contrib_r, ((1,), (1,)))
-        yr_ref[pl.ds(base, rb), :] = (yr_ref[pl.ds(base, rb), :]
-                                      - part_r.astype(yr_ref.dtype))
-        contrib_c = jnp.sum(jc_ref[:].astype(wu2.dtype) * wu2[:, None, :],
-                            axis=0)
-        part_c = _SEL_DOT_MV(ohc, contrib_c, ((1,), (1,)))
-        yc_ref[pl.ds(cb, wb), :] = (yc_ref[pl.ds(cb, wb), :]
-                                    - part_c.astype(yc_ref.dtype))
 
 
 def seg_schur_pcg_cal(J_r, J_c, J_p, w, rig_local, cal_local, pt_local, hib,
                       x_r, x_c, hinv, r_bases, c_bases, n_pts, nt, ts, rb,
                       wb, nhw, nhg):
     """(y_r, y_c) = H_batch x - W H_ll^-1 W^T x for one calib-coupled visual
-    batch, fused down+solve+up (see module comment above)."""
+    batch; see the module comment above for the two-kernel structure. J_c
+    may carry zero pad columns beyond x_c width (rcs._vis_batches sublane
+    alignment); x_c pads to match and y_c pad columns come back zero."""
     d, k, _ = J_r.shape
     kc = J_c.shape[1]
+    if x_c.shape[1] < kc:
+        x_c = jnp.pad(x_c, ((0, 0), (0, kc - x_c.shape[1])))
     n_r, n_c = x_r.shape[0], x_c.shape[0]
     if not use_pallas(w):
         y_r1, y_c1, t = seg_schur_down_cal(
@@ -1417,62 +1482,73 @@ def seg_schur_pcg_cal(J_r, J_c, J_p, w, rig_local, cal_local, pt_local, hib,
     xrp, npad_r = _table_pad(x_r, rb)
     xcp, npad_c = _table_pad(x_c, wb)
     hk = pt_table_to_kernel(hinv.reshape(-1, 9), nhg)
-    ts_spec = lambda: pl.BlockSpec(  # noqa: E731
-        (1, 1, tsc), lambda p, i, c, b, cb, h: (i, 0, c),
+    loc_spec = lambda: pl.BlockSpec(  # noqa: E731
+        (1, 1, tsc), lambda i, c, b, cb, h: (i, 0, c),
         memory_space=pltpu.VMEM)
-    y_r, y_c = pl.pallas_call(
-        partial(_schur_pcg_cal_kernel, rb, wb, nhw, nhg),
+    jr_spec = pl.BlockSpec((d, k, tsc),
+                           lambda i, c, b, cb, h: (0, 0, i * (ts // tsc) + c),
+                           memory_space=pltpu.VMEM)
+    jc_spec = pl.BlockSpec((d, kc, tsc),
+                           lambda i, c, b, cb, h: (0, 0, i * (ts // tsc) + c),
+                           memory_space=pltpu.VMEM)
+    jp_spec = pl.BlockSpec((d, 3, tsc),
+                           lambda i, c, b, cb, h: (0, 0, i * (ts // tsc) + c),
+                           memory_space=pltpu.VMEM)
+    wu_spec = pl.BlockSpec((d, tsc),
+                           lambda i, c, b, cb, h: (0, i * (ts // tsc) + c),
+                           memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec((3 * nhg, 128), lambda i, c, b, cb, h: (0, 0),
+                            memory_space=pltpu.VMEM)
+    scalars = (r_bases.astype(jnp.int32), c_bases.astype(jnp.int32),
+               hib.astype(jnp.int32))
+    locs = (rig_local.reshape(nt, 1, ts).astype(jnp.int32),
+            cal_local.reshape(nt, 1, ts).astype(jnp.int32),
+            pt_local.reshape(nt, 1, ts).astype(jnp.int32),
+            w.reshape(nt, 1, ts))
+    t, wu = pl.pallas_call(
+        partial(_down_light_cal_kernel, rb, wb, nhw, nhg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(2, nt, nc_ch),
-            in_specs=[
-                ts_spec(), ts_spec(), ts_spec(),
-                pl.BlockSpec((1, 1, tsc), lambda p, i, c, b, cb, h: (i, 0, c),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((npad_r, k), lambda p, i, c, b, cb, h: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((npad_c, kc), lambda p, i, c, b, cb, h: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((9 * nhg, 128), lambda p, i, c, b, cb, h: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, k, tsc),
-                             lambda p, i, c, b, cb, h: (0, 0, i * (ts // tsc) + c),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, kc, tsc),
-                             lambda p, i, c, b, cb, h: (0, 0, i * (ts // tsc) + c),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, 3, tsc),
-                             lambda p, i, c, b, cb, h: (0, 0, i * (ts // tsc) + c),
-                             memory_space=pltpu.VMEM),
-            ],
+            grid=(nt, nc_ch),
+            in_specs=[loc_spec(), loc_spec(), loc_spec(),
+                      pl.BlockSpec((1, 1, tsc),
+                                   lambda i, c, b, cb, h: (i, 0, c),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((npad_r, k),
+                                   lambda i, c, b, cb, h: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((npad_c, kc),
+                                   lambda i, c, b, cb, h: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      jr_spec, jc_spec, jp_spec],
+            out_specs=(tab_spec, wu_spec),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((3 * nhg, 128), w.dtype),
+                   jax.ShapeDtypeStruct((d, nt * ts), w.dtype)),
+    )(*scalars, *locs, xrp, xcp, J_r, J_c, J_p)
+    zk = _zk_solve(t, hk, nhg)
+    y_r, y_c = pl.pallas_call(
+        partial(_up_du_cal_kernel, rb, wb, nhw, nhg),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nt, nc_ch),
+            in_specs=[loc_spec(), loc_spec(), loc_spec(),
+                      pl.BlockSpec((1, 1, tsc),
+                                   lambda i, c, b, cb, h: (i, 0, c),
+                                   memory_space=pltpu.VMEM),
+                      tab_spec, wu_spec, jr_spec, jc_spec, jp_spec],
             out_specs=(
-                pl.BlockSpec((npad_r, k), lambda p, i, c, b, cb, h: (0, 0),
+                pl.BlockSpec((npad_r, k), lambda i, c, b, cb, h: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((npad_c, kc), lambda p, i, c, b, cb, h: (0, 0),
+                pl.BlockSpec((npad_c, kc), lambda i, c, b, cb, h: (0, 0),
                              memory_space=pltpu.VMEM),
             ),
-            scratch_shapes=[pltpu.VMEM((3 * nhg, 128), w.dtype)],
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((npad_r, k), w.dtype),
-            jax.ShapeDtypeStruct((npad_c, kc), w.dtype),
-        ),
-    )(
-        r_bases.astype(jnp.int32),
-        c_bases.astype(jnp.int32),
-        hib.astype(jnp.int32),
-        rig_local.reshape(nt, 1, ts).astype(jnp.int32),
-        cal_local.reshape(nt, 1, ts).astype(jnp.int32),
-        pt_local.reshape(nt, 1, ts).astype(jnp.int32),
-        w.reshape(nt, 1, ts),
-        xrp,
-        xcp,
-        hk,
-        J_r,
-        J_c,
-        J_p,
-    )
+        out_shape=(jax.ShapeDtypeStruct((npad_r, k), w.dtype),
+                   jax.ShapeDtypeStruct((npad_c, kc), w.dtype)),
+    )(*scalars, *locs, zk, wu, J_r, J_c, J_p)
     return y_r[:n_r], y_c[:n_c]
+
 
 
 def _tri_pairs_splits(splits):

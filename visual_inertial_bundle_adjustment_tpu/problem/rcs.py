@@ -145,6 +145,10 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096,
     RS_TS) to fit its in-kernel AD live set in scoped VMEM."""
     R = int(problem.variables.pose_q.shape[0])
     L = int(problem.variables.points.shape[0])
+    cal_rows_eq = (problem.variables.cam_intr.shape[0]
+                   == problem.variables.cam_extr_q.shape[0])
+    cal_est = bool(np.asarray(problem.masks.cam_intr).any()
+                   or np.asarray(problem.masks.cam_extr).any())
     for bi, (cfg, data) in enumerate(zip(problem.cfgs, problem.datas)):
         if cfg.kind not in VISUAL_KINDS or getattr(cfg, "block_info", None):
             continue
@@ -152,8 +156,16 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096,
         pt = np.asarray(data["point"])
         if len(rig) < 4 * ts:
             continue  # tiny batch: generic path is fine
+        # calib-coupled batches tile at rb=112 so rb + wb <= 128: the fused
+        # PCG matvec then packs the rig and window one-hots into a single
+        # 128-row MXU selection tile (_schur_pcg_cal2_kernel)
+        rb_b = rb
+        if (cal_est and rb == 128 and "intr" in data and cal_rows_eq
+                and np.array_equal(np.asarray(data["intr"]),
+                                   np.asarray(data["extr"]))):
+            rb_b = 112
         order = np.argsort(rig, kind="stable")
-        slot, base, nt = _tile_plan(rig[order], rb, ts)
+        slot, base, nt = _tile_plan(rig[order], rb_b, ts)
         npad = nt * ts
         n_obs = len(rig)
         new = {}
@@ -174,7 +186,7 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096,
         new["rig"] = np.where(pad > 0.5, tile_base, new["rig"]).astype(np.int32)
         new["_pad"] = pad  # 1.0 on padded rows
         new["_rb_local"] = (new["rig"].astype(np.int64) - tile_base).astype(np.int32)
-        new["_rb_rows"] = (base[:, None] + np.arange(rb)[None, :]).astype(
+        new["_rb_rows"] = (base[:, None] + np.arange(rb_b)[None, :]).astype(
             np.int32).reshape(-1)
         new["_rb_base"] = base.astype(np.int32)
         # lane-major copies of the per-observation constants for the fused
@@ -264,7 +276,7 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096,
             for k, v in new.items()
         }
         problem.cfgs[bi] = dataclasses.replace(
-            cfg, block_info=BlockInfo(rb, nt, ts, prb, pnt, ts, prb2, nhg, wb)
+            cfg, block_info=BlockInfo(rb_b, nt, ts, prb, pnt, ts, prb2, nhg, wb)
         )
     problem._jits = None
     return problem
@@ -425,6 +437,16 @@ def _vis_batches(cfgs, datas, lg):
             J_pt_mv = J_pt.astype(jnp.bfloat16)
             if J_cal is not None:
                 J_cal_mv = J_cal.astype(jnp.bfloat16)
+                # pad the cal column count to a sublane multiple (8): the
+                # stacked fused kernel (_schur_pcg_cal2_kernel) then slices
+                # its gathered (kc+k, tsc) array at aligned row boundaries
+                # only — misaligned sublane slices cost a Mosaic relayout
+                # of the whole chunk per phase
+                kc = J_cal_mv.shape[1]
+                kc8 = ((kc + 7) // 8) * 8
+                if kc8 != kc:
+                    J_cal_mv = jnp.pad(
+                        J_cal_mv, ((0, 0), (0, kc8 - kc), (0, 0)))
         if single or "_pt_perm" not in data:
             J_pt_po = w_po = perm = pt_local = pt_inv = pt_rows = pt_base = None
         else:
