@@ -212,13 +212,21 @@ def timed_iterations(problem, n_iters, pcg_iters=40):
     v, masks = problem.variables, problem.masks
     dtype = v.points.dtype
     lam = jnp.asarray(1e-4, dtype)
+    k_iter = getattr(problem, "_k_iter", None)
 
-    def one_iter(v):
-        lg = k_lin(datas, v, masks, None)
-        asm = k_assemble(datas, lg, v, masks)
-        out = k_step(asm, datas, lg, v, masks, lam, pcg_iters, 1e-10)
-        v2, stats = out[7], out[9]
-        return v2, stats
+    if k_iter is not None:
+        # whole LM iteration in ONE jit call (one tunnel round-trip), the
+        # same path optimize() takes
+        def one_iter(v):
+            _, _, out = k_iter(datas, v, masks, None, lam, pcg_iters, 1e-10)
+            return out[7], out[9]
+    else:
+        def one_iter(v):
+            lg = k_lin(datas, v, masks, None)
+            asm = k_assemble(datas, lg, v, masks)
+            out = k_step(asm, datas, lg, v, masks, lam, pcg_iters, 1e-10)
+            v2, stats = out[7], out[9]
+            return v2, stats
 
     # warmup/compile — TWO chained calls: the first compiles at the
     # fresh-variables signature, the second at the jit-output signature the

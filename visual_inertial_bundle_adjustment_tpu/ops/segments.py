@@ -1767,7 +1767,7 @@ def _precond_rig_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
     Gt = _sel_dot(Hw, ohlo, ((1,), (0,)))  # (9*nhw, tsc)
     Jr = jr_ref[:]  # (d, k, tsc)
     Jp = jp_ref[:]  # (d, 3, tsc)
-    w = w_ref[0, 0]
+    w = w_ref[0, 0].astype(Jr.dtype)
     k, d = Jr.shape[1], Jr.shape[0]
     tsc = Jr.shape[2]
     # per-obs H_ll^-1 (3, 3, tsc), selected on the VPU
@@ -1813,7 +1813,10 @@ def seg_precond_rig(J_r, J_p, w, rig_local, pt_local, hib, hinv, r_bases,
     tsc = _schur_chunk(ts, rb, nhw)
     nc = ts // tsc
     npad = ((n_rows + rb + 7) // 8) * 8
-    hk = pt_table_to_kernel(hinv.reshape(-1, 9), nhg)  # (9*nhg, 128)
+    # bf16 H_ll^-1 table (and callers pass bf16 J): the blocks feed the
+    # block-Jacobi preconditioner only, so the selection dots run 1-split —
+    # the LowerPrecSolvePrecond trade (reference Preconditioner.h:163)
+    hk = pt_table_to_kernel(hinv.reshape(-1, 9), nhg).astype(jnp.bfloat16)
     ntri = k * k
     y = pl.pallas_call(
         partial(_precond_rig_kernel, rb, nhw, nhg),
@@ -1839,7 +1842,7 @@ def seg_precond_rig(J_r, J_p, w, rig_local, pt_local, hib, hinv, r_bases,
             out_specs=pl.BlockSpec((npad, ntri), lambda i, c, b, h: (0, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((npad, ntri), J_r.dtype),
+        out_shape=jax.ShapeDtypeStruct((npad, ntri), w.dtype),
     )(
         r_bases.astype(jnp.int32),
         hib.astype(jnp.int32),

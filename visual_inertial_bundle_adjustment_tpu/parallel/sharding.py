@@ -226,6 +226,7 @@ def shard_blocked_problem(problem, mesh: Mesh, axis: str = "kf", **finalize_kw):
     problem.use_transpose_plans = False  # global-row ELL plans don't shard
     problem._blocked_done = True
     problem._jits = None
+    problem._k_iter = None
     del sharded0
     return problem
 
@@ -712,4 +713,5 @@ def shard_problem(problem, mesh: Mesh, axis: str = "kf"):
     problem.use_transpose_plans = False  # scatter+psum shards; ELL would all-gather
     problem.use_blocked_engine = False  # factor axis shards; grids don't
     problem._jits = None
+    problem._k_iter = None
     return problem

@@ -99,6 +99,7 @@ class Problem:
         self.cfgs: list = []
         self.datas: list = []
         self._jits = None
+        self._k_iter = None
 
     def add_batch(self, cfg, data):
         import numpy as np
@@ -113,6 +114,7 @@ class Problem:
         self.cfgs.append(cfg)
         self.datas.append(data)
         self._jits = None
+        self._k_iter = None
 
     # -- jitted kernels (built once per batch structure) --------------------
 
@@ -130,6 +132,7 @@ class Problem:
             # tile-sharded blocked engine over the device mesh
             from ..parallel.sharding import build_sharded_kernels
 
+            self._k_iter = None
             self._jits = build_sharded_kernels(self)
             return self._jits
 
@@ -227,9 +230,8 @@ class Problem:
         # fused happy-path LM attempt: solve + retract + comparable cost +
         # norms in ONE dispatch — the host loop otherwise pays a tunnel
         # round-trip per kernel call and per float() scalar read
-        @partial(jax.jit, static_argnames=("max_iters", "precond"))
-        def k_step(asm, datas, lg, v, masks, lam, max_iters, rel_tol,
-                   precond="gauss_seidel"):
+        def _attempt(asm, datas, lg, v, masks, lam, max_iters, rel_tol,
+                     precond):
             if blocked:
                 out = _rcs.solve_assembled(asm, v, masks, lam, max_iters,
                                            rel_tol, precond)
@@ -246,6 +248,32 @@ class Problem:
             return (x_r, x_l, model_red, pcg_rel, pcg_it, rs, (g_r, g_l),
                     v_new, ratios, stats, grad_norm, step_norm)
 
+        @partial(jax.jit, static_argnames=("max_iters", "precond"))
+        def k_step(asm, datas, lg, v, masks, lam, max_iters, rel_tol,
+                   precond="gauss_seidel"):
+            return _attempt(asm, datas, lg, v, masks, lam, max_iters,
+                            rel_tol, precond)
+
+        # the whole LM iteration — linearize + assemble + attempt — in ONE
+        # jit call: one tunnel round-trip per iteration instead of two
+        # (measured 216.8 -> 198.6 ms/iter at the full-sensor bench shape)
+        @partial(jax.jit, static_argnames=("max_iters", "precond"))
+        def k_iter_jit(datas, v, masks, alive, lam, max_iters, rel_tol,
+                       precond="gauss_seidel"):
+            lg = engine.linearize(cfgs, datas, v, masks, alive)
+            asm = (_rcs.assemble(cfgs, datas, lg, v, masks) if blocked
+                   else jnp.zeros(()))
+            return lg, asm, _attempt(asm, datas, lg, v, masks, lam,
+                                     max_iters, rel_tol, precond)
+
+        def k_iter(datas, v, masks, alive, lam, max_iters, rel_tol,
+                   precond="gauss_seidel"):
+            lg, asm, out = k_iter_jit(datas, v, masks, alive, lam,
+                                      max_iters, rel_tol, precond)
+            self._last_asm = asm
+            return lg, asm, out
+
+        self._k_iter = k_iter
         self._jits = (k_linearize, k_solve, k_resolve, k_cost, k_grad, k_retract,
                       k_assemble, k_step)
         return self._jits
@@ -288,8 +316,17 @@ def optimize(problem: Problem, settings: LMSettings) -> Summary:
             settings.pre_step_callback(iteration, problem)
             datas = tuple(problem.datas)
 
-        lg = k_lin(datas, v, masks, alive if dont_retry_failed else None)
-        asm = k_assemble(datas, lg, v, masks)
+        k_iter = getattr(problem, "_k_iter", None)
+        if k_iter is not None:
+            # whole iteration in ONE jit call (one tunnel round-trip)
+            lg, asm, out0 = k_iter(
+                datas, v, masks, alive if dont_retry_failed else None,
+                jnp.asarray(damping), pcg_iters, settings.pcg_tol,
+                settings.preconditioner)
+        else:
+            lg = k_lin(datas, v, masks, alive if dont_retry_failed else None)
+            asm = k_assemble(datas, lg, v, masks)
+            out0 = None
         if dont_retry_failed:
             alive = lg.valid0
 
@@ -298,11 +335,14 @@ def optimize(problem: Problem, settings: LMSettings) -> Summary:
         # computed alongside are discarded). ONE host sync fetches every
         # scalar of the attempt.
         while True:
+            if out0 is None:
+                out0 = k_step(
+                    asm, datas, lg, v, masks, jnp.asarray(damping), pcg_iters,
+                    settings.pcg_tol, settings.preconditioner,
+                )
             (x_r, x_l, model_red, pcg_rel, pcg_it, rs, (g_r, g_l), v_new,
-             (ratio_inf, ratio_2), stats, grad_norm, step_norm) = k_step(
-                asm, datas, lg, v, masks, jnp.asarray(damping), pcg_iters,
-                settings.pcg_tol, settings.preconditioner,
-            )
+             (ratio_inf, ratio_2), stats, grad_norm, step_norm) = out0
+            out0 = None
             (prev_cost, model_red, pcg_rel_f, pcg_it_f, new_cost, grad_norm,
              step_norm, ratio_inf, ratio_2, s_inv, s_pinv, s_tot) = (
                 float(x) for x in jax.device_get(

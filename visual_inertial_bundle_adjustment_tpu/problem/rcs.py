@@ -279,6 +279,7 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096,
             cfg, block_info=BlockInfo(rb_b, nt, ts, prb, pnt, ts, prb2, nhg, wb)
         )
     problem._jits = None
+    problem._k_iter = None
     return problem
 
 
@@ -654,14 +655,17 @@ def _precond_finish(asm: "RcsAsm", v, masks, lam, H_ll_inv,
     rig_local = jnp.zeros_like(blocks[fct.RIG])  # per-shard contributions
     for b, A in zip(asm.vis, asm.A_rp):
         if _single_pass(b):
-            J = b.jac[0]
-            # with the correction disabled the fused kernel still produces
-            # the plain J^T w J rig blocks (H_ll_inv of zero zeroes the
-            # subtracted term exactly). For cal-fast batches the window
-            # blocks were accumulated lambda-free in seg_assemble_cal.
+            # bf16 J + bf16 H_ll^-1 in the fused kernel: the blocks only
+            # precondition, so 1-split selection dots suffice (the
+            # LowerPrecSolvePrecond trade, Preconditioner.h:163). With the
+            # correction disabled the kernel still produces the plain
+            # J^T w J rig blocks (H_ll_inv of zero zeroes the subtracted
+            # term exactly). For cal-fast batches the window blocks were
+            # accumulated lambda-free in seg_assemble_cal.
+            J, J_pt, _ = _mv_jacs(b)
             Hinv_used = H_ll_inv if schur_corr else jnp.zeros_like(H_ll_inv)
             rig_local = rig_local + _padkk(seg.seg_precond_rig(
-                J, b.J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib,
+                J, J_pt, b.w, b.rb_local, b.rg_pt_local, b.rg_hib,
                 Hinv_used, b.rb_base, b.info.nt, b.info.ts, b.info.rb,
                 b.info.prb2 // 128, b.info.nhg, blocks[fct.RIG].shape[0]),
                 b.rig_k)
