@@ -116,6 +116,7 @@ def test_per_group_fprio_inflate_scales_weights(session_dir):
     assert np.allclose(c1, c2)
 
 
+@pytest.mark.slow  # smoke-gate budget (round-4 VERDICT #8): <300 s
 def test_rig_subrange(session_dir):
     sd = sio.load_session(session_dir)
     full = SessionAdapter(sd, _opts([]), log=None)

@@ -330,6 +330,7 @@ def test_calib_covariances_blocks():
     np.testing.assert_allclose(cov, direct, atol=1e-8 * abs(direct).max())
 
 
+@pytest.mark.slow  # smoke-gate budget (round-4 VERDICT #8): <300 s
 def test_blocked_covariance_matches_generic():
     """Round-3 VERDICT ask #4: covariance columns must ride the blocked
     single-pass Schur engine when the problem has a blocked layout, and the
