@@ -1,6 +1,14 @@
 """Benchmark: LM iterations/sec of the full VI-BA step on real hardware.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Prints a JSON line {"metric", "value", "unit", "vs_baseline", "extra"}
+INCREMENTALLY — re-emitted with the fields measured so far after EVERY
+stage, so the last line on stdout always carries the maximal information
+and a driver timeout cannot erase already-measured numbers (BENCH_r04
+recorded nothing because the single final print sat behind ~15 min of CPU
+baselines). CPU baselines are cached in bench_cpu_cache.json (committed;
+keyed by the workload signature) and only re-measured on a cache miss or
+VIBA_BENCH_REFRESH_CPU=1; a global deadline (VIBA_BENCH_BUDGET_SEC,
+default 1500 s) skips optional stages rather than overrunning.
 
 Two configs, both timed as one full LM iteration (linearize -> assemble ->
 40-iteration PCG Schur solve -> retract -> comparable cost — the reference's
@@ -166,29 +174,74 @@ def run_capacity():
         ips, _ = timed_iterations(problem, CAP_TIMED_ITERS)
         hbm = _device_peak_hbm_gb()
         _note(f"capacity 30-min: {ips:.3f} iters/s, peak HBM {hbm} GB")
-        return ips, hbm
+        return ips, hbm, problem
     except Exception as e:  # noqa: BLE001
         sys.stderr.write(f"capacity config failed: {e}\n")
-        return None, None
+        return None, None, None
+
+
+COV_COLS = 12  # one full rig block of covariance columns (rot+vel+pos+omega)
+
+
+def run_capacity_covariance(problem):
+    """Covariance columns THROUGH THE BLOCKED ENGINE at the capacity scale
+    (round-3 VERDICT ask #4's measured half): one linearization+assembly,
+    then one rig's 12 tangent columns of H^-1 solved against the single-pass
+    Schur kernels — the analog of the reference's factor-once/solve-many
+    covariance path (Optimizer.cpp:574-604)."""
+    if problem is None:
+        return None
+    try:
+        import jax
+
+        from visual_inertial_bundle_adjustment_tpu.problem import (
+            covariance as cov,
+        )
+
+        _note(f"capacity covariance: preparing blocked system...")
+        with cov.with_gauge_prior(problem):
+            system = cov.prepare_system(problem, lam=1e-6)
+            assert cov.system_is_blocked(system), "expected the blocked path"
+            mid = int(problem.variables.pose_q.shape[0]) // 2
+            entries = [("rig", mid, d) for d in range(COV_COLS)]
+            # compile + warm on a 1-column solve, then time the full block
+            warm = cov.solve_columns(problem, entries[:1], system=system,
+                                     pcg_iters=200, pcg_tol=1e-8)
+            jax.block_until_ready(warm)
+            t0 = time.time()
+            cols = cov.solve_columns(problem, entries, system=system,
+                                     pcg_iters=200, pcg_tol=1e-8)
+            jax.block_until_ready(cols)
+            cps = COV_COLS / (time.time() - t0)
+        _note(f"capacity covariance: {cps:.3f} cols/s")
+        return cps
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"capacity covariance failed: {e}\n")
+        return None
 
 
 def run_pcg_switch():
     """>20k rigs: the scale where the reference's pickSolverType switches to
     Gauss-Seidel-preconditioned PCG (Settings.cpp:296-320). Asserts our
     pick_solver makes the same choice and times the iteration in that mode."""
-    try:
-        from visual_inertial_bundle_adjustment_tpu.problem.optimizer import (
-            LMSettings,
-            pick_solver,
-        )
+    from visual_inertial_bundle_adjustment_tpu.problem.optimizer import (
+        LMSettings,
+        pick_solver,
+    )
 
+    # the solver-switch parity assertion must fail LOUDLY (a regression here
+    # is a correctness bug, not a bench hiccup) — only the timing below is
+    # allowed to degrade to null
+    n_rigs_expect = int(PCGSW_DURATION * PCGSW_KEYFRAME_HZ)
+    st = pick_solver(LMSettings(), n_rigs_expect, "auto")
+    assert not st.direct_mode and st.preconditioner == "gauss_seidel", (
+        n_rigs_expect, st.direct_mode, st.preconditioner)
+    try:
         _note("building >20k-rig PCG-switch problem...")
         problem = build_capacity_problem(
             PCGSW_DURATION, PCGSW_KEYFRAME_HZ, PCGSW_POINTS)
         n_rigs = int(problem.variables.pose_q.shape[0])
-        st = pick_solver(LMSettings(), n_rigs, "auto")
-        assert not st.direct_mode and st.preconditioner == "gauss_seidel", (
-            n_rigs, st.direct_mode, st.preconditioner)
+        assert n_rigs == n_rigs_expect, (n_rigs, n_rigs_expect)
         _note(f"pcg-switch: {n_rigs} rigs -> auto solver = "
               f"pcg/{st.preconditioner}; timing...")
         ips, _ = timed_iterations(problem, CAP_TIMED_ITERS,
@@ -355,54 +408,152 @@ def run_full_sensor_cpu(problem):
         return None
 
 
+# --- CPU-baseline cache -----------------------------------------------------
+# The CPU baselines take ~15 min and measure slowly-changing quantities (the
+# same-algorithm/reference-formulation iteration on the HOST, not the TPU
+# code under test). They are cached keyed by the workload signature so the
+# driver run spends its budget on the TPU numbers (VERDICT r4 ask #1).
+
+_CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_cpu_cache.json")
+
+
+def _workload_signature():
+    return {
+        "duration": DURATION, "keyframe_hz": KEYFRAME_HZ,
+        "num_points": NUM_POINTS, "track_lifetime": TRACK_LIFETIME,
+        "cpu_timed_iters": CPU_TIMED_ITERS,
+        "full_duration": FULL_DURATION, "full_points": FULL_POINTS,
+    }
+
+
+def _load_cpu_cache():
+    if os.environ.get("VIBA_BENCH_REFRESH_CPU") == "1":
+        return None
+    try:
+        with open(_CACHE_PATH) as f:
+            cache = json.load(f)
+        if cache.get("signature") == _workload_signature():
+            _note(f"CPU baselines from cache ({_CACHE_PATH}, recorded "
+                  f"{cache.get('recorded_at')})")
+            return cache
+        _note("CPU cache signature mismatch; will re-measure")
+    except FileNotFoundError:
+        pass
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"cpu cache unreadable: {e}\n")
+    return None
+
+
+def _save_cpu_cache(vals):
+    try:
+        vals = dict(vals)
+        vals["signature"] = _workload_signature()
+        vals["recorded_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        with open(_CACHE_PATH, "w") as f:
+            json.dump(vals, f, indent=1)
+            f.write("\n")
+        _note(f"CPU baselines cached to {_CACHE_PATH}")
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"cpu cache write failed: {e}\n")
+
+
 def main():
-    ips = run_device()
+    t_start = time.time()
+    budget = float(os.environ.get("VIBA_BENCH_BUDGET_SEC", "1500"))
+    r = {}
+
+    def left():
+        return budget - (time.time() - t_start)
+
+    def emit():
+        ips = r.get("ips")
+        ref_ips = r.get("ref_ips")
+        cpu_ips = r.get("cpu_ips")
+        full_ips = r.get("full_ips")
+        full_cpu_ips = r.get("full_cpu_ips")
+        vs = (ips / ref_ips if ips and ref_ips
+              else (ips / cpu_ips if ips and cpu_ips else None))
+        rnd = lambda x, n=4: round(x, n) if x else None  # noqa: E731
+        print(json.dumps({
+            "metric": "lm_iterations_per_sec_2min_session",
+            "value": rnd(ips),
+            "unit": "iters/s",
+            "vs_baseline": round(vs, 3) if vs else None,
+            "extra": {
+                "full_sensor_10min_iters_per_sec": rnd(full_ips),
+                "capacity_30min_iters_per_sec": rnd(r.get("cap_ips")),
+                "capacity_30min_peak_hbm_gb": r.get("cap_hbm"),
+                "capacity_covariance_cols_per_sec": rnd(r.get("cov_cps")),
+                "pcg_switch_iters_per_sec": rnd(r.get("sw_ips")),
+                "pcg_switch_num_rigs": r.get("sw_rigs"),
+                "full_sensor_cpu_same_algorithm_iters_per_sec": (
+                    rnd(full_cpu_ips, 5)),
+                "full_sensor_vs_cpu": (
+                    round(full_ips / full_cpu_ips, 1)
+                    if full_ips and full_cpu_ips else None),
+                "cpu_reference_direct_iters_per_sec": rnd(ref_ips),
+                "cpu_same_algorithm_iters_per_sec": rnd(cpu_ips),
+                "cpu_baselines_cached": r.get("cached", False),
+            },
+        }), flush=True)
+
+    # CPU baselines resolve first when cached: every emitted line then
+    # already carries vs_baseline
+    cache = _load_cpu_cache()
+    if cache:
+        r["ref_ips"] = cache.get("cpu_reference_direct_iters_per_sec")
+        r["cpu_ips"] = cache.get("cpu_same_algorithm_iters_per_sec")
+        r["full_cpu_ips"] = cache.get(
+            "full_sensor_cpu_same_algorithm_iters_per_sec")
+        r["cached"] = True
+
+    # --- TPU stages (the numbers under test), most important first ---
+    r["ips"] = run_device()
+    emit()
     full_ips, full_problem = run_full_sensor()
-    cap_ips, cap_hbm = run_capacity()
+    r["full_ips"] = full_ips
+    emit()
+    cap_ips, cap_hbm, cap_problem = run_capacity()
+    r["cap_ips"], r["cap_hbm"] = cap_ips, cap_hbm
+    emit()
+    r["cov_cps"] = run_capacity_covariance(cap_problem)
+    del cap_problem
+    emit()
     sw_ips, sw_rigs = run_pcg_switch()
-    full_cpu_ips = run_full_sensor_cpu(full_problem)
+    r["sw_ips"], r["sw_rigs"] = sw_ips, sw_rigs
+    emit()
+
+    # --- CPU baselines (skipped when cached; each respects the deadline) ---
+    if not cache:
+        fresh = {}
+        if left() > 360:
+            _note("running CPU reference-direct baseline...")
+            r["ref_ips"] = fresh["cpu_reference_direct_iters_per_sec"] = (
+                run_cpu_reference())
+            emit()
+        else:
+            _note(f"skipping CPU reference baseline ({left():.0f}s left)")
+        if left() > 300:
+            _note("running CPU same-algorithm baseline...")
+            r["cpu_ips"] = fresh["cpu_same_algorithm_iters_per_sec"] = (
+                run_cpu_subprocess())
+            emit()
+        else:
+            _note(f"skipping CPU same-algorithm baseline ({left():.0f}s left)")
+        if left() > 660:
+            r["full_cpu_ips"] = fresh[
+                "full_sensor_cpu_same_algorithm_iters_per_sec"] = (
+                run_full_sensor_cpu(full_problem))
+            emit()
+        else:
+            _note(f"skipping full-sensor CPU baseline ({left():.0f}s left)")
+        if fresh.get("cpu_reference_direct_iters_per_sec") and fresh.get(
+                "cpu_same_algorithm_iters_per_sec"):
+            _save_cpu_cache(fresh)
     del full_problem
-    _note("running CPU reference-direct baseline...")
-    ref_ips = run_cpu_reference()
-    _note("running CPU same-algorithm baseline...")
-    cpu_ips = run_cpu_subprocess()
-    vs = ips / ref_ips if ref_ips else (ips / cpu_ips if cpu_ips else None)
-    print(
-        json.dumps(
-            {
-                "metric": "lm_iterations_per_sec_2min_session",
-                "value": round(ips, 4),
-                "unit": "iters/s",
-                "vs_baseline": round(vs, 3) if vs else None,
-                "extra": {
-                    "full_sensor_10min_iters_per_sec": (
-                        round(full_ips, 4) if full_ips else None
-                    ),
-                    "capacity_30min_iters_per_sec": (
-                        round(cap_ips, 4) if cap_ips else None
-                    ),
-                    "capacity_30min_peak_hbm_gb": cap_hbm,
-                    "pcg_switch_iters_per_sec": (
-                        round(sw_ips, 4) if sw_ips else None
-                    ),
-                    "pcg_switch_num_rigs": sw_rigs,
-                    "full_sensor_cpu_same_algorithm_iters_per_sec": (
-                        round(full_cpu_ips, 5) if full_cpu_ips else None
-                    ),
-                    "full_sensor_vs_cpu": (
-                        round(full_ips / full_cpu_ips, 1)
-                        if full_ips and full_cpu_ips else None
-                    ),
-                    "cpu_reference_direct_iters_per_sec": (
-                        round(ref_ips, 4) if ref_ips else None
-                    ),
-                    "cpu_same_algorithm_iters_per_sec": (
-                        round(cpu_ips, 4) if cpu_ips else None
-                    ),
-                },
-            }
-        )
-    )
+    emit()
+    _note(f"bench done in {time.time() - t_start:.0f}s")
 
 
 if __name__ == "__main__":

@@ -311,3 +311,81 @@ def test_table_kernels_pallas_vs_xla():
         assert_close("seg_reduce_table", r_t, r_r)
     finally:
         seg.use_pallas = real
+
+
+def _schur_plan(rng, n_rows, n_obs, rb, ts):
+    """Tile plan + correlated point ids with bounded per-tile hi windows
+    (mirrors rcs.finalize_blocks; from tools_dev/check_table_kernels)."""
+    local, w, bases, nt = _tile_plan(rng, n_rows, n_obs, rb, ts)
+    pt_keys = np.minimum(
+        (np.asarray(local) + np.repeat(np.asarray(bases), ts)) * 2,
+        3 * n_rows - 1).astype(np.int64)
+    n_pts = int(pt_keys.max()) + 1
+    base2 = []
+    for t in range(nt):
+        sk = pt_keys[t * ts:(t + 1) * ts][np.asarray(w)[t * ts:(t + 1) * ts] > 0]
+        base2.append((int(sk.min()) & ~1023) if len(sk) else 0)
+    base2 = np.asarray(base2, np.int64)
+    span = max(int(pt_keys[t * ts:(t + 1) * ts].max() - base2[t]) + 1
+               for t in range(nt))
+    nhw = ((-(-span // 128)) + 7) // 8 * 8
+    hib = (base2 >> 7).astype(np.int32)
+    nhg = ((max(-(-n_pts // 128), int(hib.max()) + nhw)) + 7) // 8 * 8
+    ploc = (pt_keys - np.repeat(base2, ts)).astype(np.int32)
+    ploc[np.asarray(w) <= 0] = 0
+    return (local, w, bases, nt, jnp.asarray(ploc), jnp.asarray(hib),
+            n_pts, nhw, nhg)
+
+
+def test_windowed_rig_kernels_match_resident():
+    """The windowed (per-tile HBM partial) mode of the rig-grid kernels —
+    the >14k-rig capacity path that fixes the BENCH_r04 scoped-VMEM compile
+    OOM at the reference's PCG-switch scale (Settings.cpp:296-320) — must
+    match the grid-resident mode to f32 reduction-order noise. Forced on at
+    a small shape via seg.RIG_RESIDENT_MAX_BYTES = 0."""
+    from visual_inertial_bundle_adjustment_tpu.ops import segments as seg
+
+    rng = np.random.default_rng(3)
+    d, k = 2, 6
+    n_rows, n_obs, rb, ts = 600, 60_000, 112, 4096
+    (local, w, bases, nt, ploc, hib, n_pts, nhw, nhg) = _schur_plan(
+        rng, n_rows, n_obs, rb, ts)
+    npad = nt * ts
+    J = jnp.asarray(rng.standard_normal((d, k, npad)), jnp.float32)
+    Jp = jnp.asarray(rng.standard_normal((d, 3, npad)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((d, npad)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((n_rows, k)), jnp.float32)
+    Hs = rng.standard_normal((n_pts, 3, 3)).astype(np.float32)
+    Hs = jnp.asarray(Hs + np.swapaxes(Hs, 1, 2))
+
+    fns = {
+        "assemble": lambda J, Jp, res, w: seg.seg_assemble_rig(
+            J, Jp, res, w, local, ploc, hib, bases, n_pts, nt, ts, rb,
+            nhw, nhg, n_rows),
+        "schur_pcg": lambda J, Jp, w, x, H: seg.seg_schur_pcg(
+            J, Jp, w, local, ploc, hib, x, H, bases, n_pts, nt, ts, rb,
+            nhw, nhg),
+        "precond": lambda J, Jp, w, H: seg.seg_precond_rig(
+            J, Jp, w, local, ploc, hib, H, bases, nt, ts, rb, nhw, nhg,
+            n_rows),
+    }
+    args = {
+        "assemble": (J, Jp, res, w),
+        "schur_pcg": (J, Jp, w, x, Hs),
+        "precond": (J, Jp, w, Hs),
+    }
+    saved = seg.RIG_RESIDENT_MAX_BYTES
+    try:
+        resident = {n: jax.tree.map(np.asarray, jax.jit(f)(*args[n]))
+                    for n, f in fns.items()}
+        seg.RIG_RESIDENT_MAX_BYTES = 0  # force the windowed mode
+        # fresh jit wrappers so the re-trace sees the new gate
+        windowed = {n: jax.tree.map(np.asarray, jax.jit(f)(*args[n]))
+                    for n, f in fns.items()}
+    finally:
+        seg.RIG_RESIDENT_MAX_BYTES = saved
+    for n in fns:
+        for i, (a, b) in enumerate(zip(jax.tree.leaves(resident[n]),
+                                       jax.tree.leaves(windowed[n]))):
+            err = np.abs(a - b).max() / (np.abs(b).max() + 1e-30)
+            assert err < 2e-5, f"{n}[{i}]: windowed vs resident rel-err {err:.2e}"

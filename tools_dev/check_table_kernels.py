@@ -136,7 +136,10 @@ def main():
             J, Jp, w, local, ploc_j, hib_j, H, bases, nt, ts, rb, nhw, nhg,
             n_rows),
         J, Jp, w, Hs)
-    cmp("seg_precond_rig", pr_t, pr_r, tol=2e-6)
+    # the Pallas path rounds the H_ll^-1 table to bf16 (preconditioner-
+    # only blocks, the LowerPrecSolvePrecond trade — ops/segments.py
+    # seg_precond_rig); vs the f32-exact fallback the bound is bf16-level
+    cmp("seg_precond_rig", pr_t, pr_r, tol=3e-2)
 
     # fused assembly kernel
     resv = jnp.asarray(rng.standard_normal((d, npad)), jnp.float32)
@@ -188,7 +191,7 @@ def main():
            - np.einsum("abn,nbc,dcn->adn", A_d, Hn_d, A_d))
     pr_d = np.zeros((n_rows, k, k), np.float64)
     np.add.at(pr_d, keys_dense, np.moveaxis(E_d, -1, 0))
-    cmp("precond_rig vs dense", pr_t, pr_d, tol=1e-5)
+    cmp("precond_rig vs dense", pr_t, pr_d, tol=3e-2)  # bf16 H table
 
     # dense cross-check of the fused kernel against plain segment ops
     keys_full = np.zeros(npad, np.int64)
@@ -201,6 +204,36 @@ def main():
     np.add.at(y_dense, keys_full, contrib.T)
     cmp("fused.wu vs dense", wu_t, uu)
     cmp("fused.y vs dense", y_t, y_dense.astype(np.float32))
+
+    # windowed (per-tile HBM partial) mode of the rig-grid kernels — the
+    # >14k-rig capacity path (BENCH_r04 scoped-VMEM OOM fix): forced on at
+    # this small shape, must match the resident mode to reduction-order noise
+    saved = seg.RIG_RESIDENT_MAX_BYTES
+    try:
+        seg.RIG_RESIDENT_MAX_BYTES = 0
+        (gaw, daw, glaw, Haw) = jax.jit(
+            lambda J, Jp, res, w: seg.seg_assemble_rig(
+                J, Jp, res, w, local, ploc_j, hib_j, bases, n_pts, nt, ts,
+                rb, nhw, nhg, n_rows))(J, Jp, resv, w)
+        cmp("assemble.g_r windowed", gaw, ga_t, tol=2e-5)
+        cmp("assemble.diag windowed", daw, da_t, tol=2e-5)
+        cmp("assemble.g_l windowed", glaw, gla_t, tol=2e-5)
+        cmp("assemble.H windowed", Haw, Ha_t, tol=2e-5)
+        yw = jax.jit(lambda J, Jp, w, x, H: seg.seg_schur_pcg(
+            J, Jp, w, local, ploc_j, hib_j, x, H, bases, n_pts, nt, ts, rb,
+            nhw, nhg))(J, Jp, w, x, Hs)
+        ynr = jax.jit(lambda J, Jp, w, x, H: seg.seg_schur_pcg(
+            J, Jp, w, local, ploc_j, hib_j, x, H, bases, n_pts, nt, ts, rb,
+            nhw, nhg))
+        seg.RIG_RESIDENT_MAX_BYTES = saved
+        cmp("schur_pcg windowed", yw, ynr(J, Jp, w, x, Hs), tol=2e-5)
+        seg.RIG_RESIDENT_MAX_BYTES = 0
+        prw = jax.jit(lambda J, Jp, w, H: seg.seg_precond_rig(
+            J, Jp, w, local, ploc_j, hib_j, H, bases, nt, ts, rb, nhw, nhg,
+            n_rows))(J, Jp, w, Hs)
+        cmp("precond_rig windowed", prw, pr_t, tol=2e-5)
+    finally:
+        seg.RIG_RESIDENT_MAX_BYTES = saved
     print("all ok")
 
 

@@ -13,5 +13,12 @@ out="TPU_ACCURACY_${1:-latest}.txt"
   VIBA_TEST_BACKEND=tpu PYTHONPATH=/root/.axon_site:/root/repo \
     timeout 5400 python -m pytest tests/test_tpu_accuracy.py -m tpu -v 2>&1 \
     | grep -v "WARNING:"
+  # capacity-shape compile probe (round-4 VERDICT ask #8): the full one-jit
+  # LM iteration must compile AND run at the reference's PCG-switch scale
+  # (>20k rigs, Settings.cpp:296-320) — the scale BENCH_r04 compile-OOM'd at
+  echo "# capacity compile probe (21.6k rigs)"
+  PYTHONPATH=/root/.axon_site:/root/repo \
+    timeout 1500 python -u tools_dev/capacity_compile_probe.py 2>&1 \
+    | grep -v "WARNING:"
 } > "$out"
-tail -3 "$out"
+tail -4 "$out"

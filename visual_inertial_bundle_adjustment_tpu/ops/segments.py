@@ -48,6 +48,23 @@ def use_pallas(*arrays) -> bool:
     return all(a.dtype != jnp.float64 for a in arrays)
 
 
+# A grid-resident (npad, k<=36) rig table is lane-padded to 128 inside the
+# kernel, costing npad*128*itemsize bytes of scoped VMEM for the WHOLE grid.
+# Past ~14k rows that (plus the point tables and input chunks) approaches
+# the 16 MiB Mosaic scoped-VMEM stack limit — BENCH_r04 compile-OOM'd at
+# 21.6k rigs inside the one-jit LM iteration (the reference's PCG-switch
+# scale, viba/common/Constants.h:15). Above this budget the rig-grid
+# kernels switch to WINDOWED mode: scatter-side outputs become per-tile
+# (nt, rb, D) HBM partials combined by one XLA scatter-add, gather-side
+# inputs are pre-gathered (nt, rb, k) tile windows — VMEM residency then no
+# longer scales with the number of rigs.
+RIG_RESIDENT_MAX_BYTES = 7 * 2**20
+
+
+def _rig_resident(npad, dtype=jnp.float32) -> bool:
+    return npad * 128 * jnp.dtype(dtype).itemsize <= RIG_RESIDENT_MAX_BYTES
+
+
 def _sel_precision(dtype):
     """f32 one-hot contractions must run f32-exact on the MXU (DEFAULT would
     round the selected values to bf16); bf16 operands are exact under DEFAULT
@@ -566,27 +583,39 @@ def pt_table_from_kernel(t, n_pts, D=3):
             .reshape(nhg * 128, D)[:n_pts])
 
 
-def _schur_down_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
-                       w_ref, x_ref, jr_ref, jp_ref, y_ref, tp_ref):
+def _schur_down_kernel(rb, nhw, nhg, win, rbases_ref, hib_ref, rloc_ref,
+                       ploc_ref, w_ref, x_ref, jr_ref, jp_ref, y_ref, tp_ref):
     i, c = pl.program_id(0), pl.program_id(1)
     base = pl.multiple_of(rbases_ref[i], 8)
     hb = pl.multiple_of(hib_ref[i], 8)
 
-    @pl.when((i == 0) & (c == 0))
-    def _():
-        y_ref[:] = jnp.zeros_like(y_ref)
-        tp_ref[:] = jnp.zeros_like(tp_ref)
+    if win:
+        @pl.when(c == 0)
+        def _():
+            y_ref[0] = jnp.zeros_like(y_ref[0])
+
+        @pl.when((i == 0) & (c == 0))
+        def _():
+            tp_ref[:] = jnp.zeros_like(tp_ref)
+    else:
+        @pl.when((i == 0) & (c == 0))
+        def _():
+            y_ref[:] = jnp.zeros_like(y_ref)
+            tp_ref[:] = jnp.zeros_like(tp_ref)
 
     ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, tsc)
-    xt = x_ref[pl.ds(base, rb), :]  # (rb, k)
+    xt = x_ref[0] if win else x_ref[pl.ds(base, rb), :]  # (rb, k)
     xgT = _SEL_DOT_MV(xt, ohr, ((0,), (0,)))  # (k, tsc)
     Jr = jr_ref[:].astype(xgT.dtype)  # (d, k, tsc); bf16 storage upcast once
     wu = jnp.sum(Jr * xgT[None, :, :], axis=1) \
         * w_ref[0, 0][None, :]
     contrib_r = jnp.sum(Jr * wu[:, None, :], axis=0)  # (k, tsc)
     part = _SEL_DOT_MV(ohr, contrib_r, ((1,), (1,)))  # (rb, k)
-    y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
-                                 + part.astype(y_ref.dtype))
+    if win:
+        y_ref[0] = y_ref[0] + part.astype(y_ref.dtype)
+    else:
+        y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
+                                     + part.astype(y_ref.dtype))
     # hierarchical point scatter: id = hi*128 + lo. MT[j*nhw+h, :] =
     # ohhi[h, :] * contrib_p[j], then one 128-row selection dot
     # P = MT ohlo^T gives P[j*nhw+h, l] = sum over obs with (hi, lo)==(h, l),
@@ -630,8 +659,24 @@ def seg_schur_down(J_r, J_p, w, rig_local, pt_local, hib, x_table, r_bases,
     tsc = _schur_chunk(ts, rb, nhw)
     nc = ts // tsc
     xp, npad = _table_pad(x_table, rb)
+    win = not _rig_resident(npad, w.dtype)
+    if win:
+        rows = _rows_from_bases(r_bases, nt, rb)
+        x_arg = gather_tiles(x_table, rows, nt, rb)
+        x_spec = pl.BlockSpec((1, rb, k), lambda i, c, b, h: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        y_spec = pl.BlockSpec((1, rb, k), lambda i, c, b, h: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        y_shape = jax.ShapeDtypeStruct((nt, rb, k), w.dtype)
+    else:
+        x_arg = xp
+        x_spec = pl.BlockSpec((npad, k), lambda i, c, b, h: (0, 0),
+                              memory_space=pltpu.VMEM)
+        y_spec = pl.BlockSpec((npad, k), lambda i, c, b, h: (0, 0),
+                              memory_space=pltpu.VMEM)
+        y_shape = jax.ShapeDtypeStruct((npad, k), w.dtype)
     y, t = pl.pallas_call(
-        partial(_schur_down_kernel, rb, nhw, nhg),
+        partial(_schur_down_kernel, rb, nhw, nhg, win),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nt, nc),
@@ -642,8 +687,7 @@ def seg_schur_down(J_r, J_p, w, rig_local, pt_local, hib, x_table, r_bases,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, tsc), lambda i, c, b, h: (i, 0, c),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((npad, k), lambda i, c, b, h: (0, 0),
-                             memory_space=pltpu.VMEM),
+                x_spec,
                 pl.BlockSpec((d, k, tsc),
                              lambda i, c, b, h: (0, 0, i * (ts // tsc) + c),
                              memory_space=pltpu.VMEM),
@@ -652,14 +696,13 @@ def seg_schur_down(J_r, J_p, w, rig_local, pt_local, hib, x_table, r_bases,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((npad, k), lambda i, c, b, h: (0, 0),
-                             memory_space=pltpu.VMEM),
+                y_spec,
                 pl.BlockSpec((3 * nhg, 128), lambda i, c, b, h: (0, 0),
                              memory_space=pltpu.VMEM),
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((npad, k), w.dtype),
+            y_shape,
             jax.ShapeDtypeStruct((3 * nhg, 128), w.dtype),
         ),
     )(
@@ -668,22 +711,31 @@ def seg_schur_down(J_r, J_p, w, rig_local, pt_local, hib, x_table, r_bases,
         rig_local.reshape(nt, 1, ts).astype(jnp.int32),
         pt_local.reshape(nt, 1, ts).astype(jnp.int32),
         w.reshape(nt, 1, ts),
-        xp,
+        x_arg,
         J_r,
         J_p,
     )
-    return y[:n_rows], pt_table_from_kernel(t, n_pts)
+    if win:
+        y = scatter_partials(y, rows, n_rows, rb)
+    else:
+        y = y[:n_rows]
+    return y, pt_table_from_kernel(t, n_pts)
 
 
-def _schur_up_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
-                     w_ref, z_ref, jr_ref, jp_ref, y_ref):
+def _schur_up_kernel(rb, nhw, nhg, win, rbases_ref, hib_ref, rloc_ref,
+                     ploc_ref, w_ref, z_ref, jr_ref, jp_ref, y_ref):
     i, c = pl.program_id(0), pl.program_id(1)
     base = pl.multiple_of(rbases_ref[i], 8)
     hb = pl.multiple_of(hib_ref[i], 8)
 
-    @pl.when((i == 0) & (c == 0))
-    def _():
-        y_ref[:] = jnp.zeros_like(y_ref)
+    if win:
+        @pl.when(c == 0)
+        def _():
+            y_ref[0] = jnp.zeros_like(y_ref[0])
+    else:
+        @pl.when((i == 0) & (c == 0))
+        def _():
+            y_ref[:] = jnp.zeros_like(y_ref)
 
     # hierarchical point gather from the resident z table: Gt = Zw ohlo
     # gives Gt[j*nhw+h, n] = z[(hb+h)*128+lo(n), j] for every candidate
@@ -707,8 +759,11 @@ def _schur_up_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
                       axis=0)  # (k, tsc)
     ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, tsc)
     part = _SEL_DOT_MV(ohr, contrib, ((1,), (1,)))  # (rb, k)
-    y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
-                                 + part.astype(y_ref.dtype))
+    if win:
+        y_ref[0] = y_ref[0] + part.astype(y_ref.dtype)
+    else:
+        y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
+                                     + part.astype(y_ref.dtype))
 
 
 def seg_schur_up(J_r, J_p, w, rig_local, pt_local, hib, z, r_bases,
@@ -728,9 +783,18 @@ def seg_schur_up(J_r, J_p, w, rig_local, pt_local, hib, z, r_bases,
     tsc = _schur_chunk(ts, rb, nhw)
     nc = ts // tsc
     npad = ((n_rows + rb + 7) // 8) * 8
+    win = not _rig_resident(npad, w.dtype)
+    if win:
+        y_spec = pl.BlockSpec((1, rb, k), lambda i, c, b, h: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        y_shape = jax.ShapeDtypeStruct((nt, rb, k), w.dtype)
+    else:
+        y_spec = pl.BlockSpec((npad, k), lambda i, c, b, h: (0, 0),
+                              memory_space=pltpu.VMEM)
+        y_shape = jax.ShapeDtypeStruct((npad, k), w.dtype)
     zr = pt_table_to_kernel(z, nhg)
     y = pl.pallas_call(
-        partial(_schur_up_kernel, rb, nhw, nhg),
+        partial(_schur_up_kernel, rb, nhw, nhg, win),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nt, nc),
@@ -750,10 +814,9 @@ def seg_schur_up(J_r, J_p, w, rig_local, pt_local, hib, z, r_bases,
                              lambda i, c, b, h: (0, 0, i * (ts // tsc) + c),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((npad, k), lambda i, c, b, h: (0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=y_spec,
         ),
-        out_shape=jax.ShapeDtypeStruct((npad, k), w.dtype),
+        out_shape=y_shape,
     )(
         r_bases.astype(jnp.int32),
         hib.astype(jnp.int32),
@@ -764,6 +827,9 @@ def seg_schur_up(J_r, J_p, w, rig_local, pt_local, hib, z, r_bases,
         J_r,
         J_p,
     )
+    if win:
+        return scatter_partials(y, _rows_from_bases(r_bases, nt, rb),
+                                n_rows, rb)
     return y[:n_rows]
 
 
@@ -771,7 +837,7 @@ def _triu_pairs(k):
     return [(a, b) for a in range(k) for b in range(a, k)]
 
 
-def _assemble_rig_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref,
+def _assemble_rig_kernel(rb, nhw, nhg, win, rbases_ref, hib_ref, rloc_ref,
                          ploc_ref, w_ref, res_ref, jr_ref, jp_ref,
                          y_ref, tp_ref):
     i = pl.program_id(0)
@@ -780,7 +846,8 @@ def _assemble_rig_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref,
 
     @pl.when(i == 0)
     def _():
-        y_ref[:] = jnp.zeros_like(y_ref)
+        if not win:
+            y_ref[:] = jnp.zeros_like(y_ref)
         tp_ref[:] = jnp.zeros_like(tp_ref)
 
     Jr = jr_ref[:]  # (d, k, ts)
@@ -796,8 +863,13 @@ def _assemble_rig_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref,
     C = jnp.concatenate([gr, dg], axis=0)  # (2k, ts)
     ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, ts)
     part = _sel_dot(ohr, C, ((1,), (1,)))  # (rb, 2k)
-    y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
-                                 + part.astype(y_ref.dtype))
+    if win:
+        # windowed: each tile owns its (rb, 2k) HBM partial (grid has no
+        # chunk dim here — written exactly once)
+        y_ref[0] = part.astype(y_ref.dtype)
+    else:
+        y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
+                                     + part.astype(y_ref.dtype))
     # point side: gradient (3) + symmetric landmark block (6), scattered
     # into the resident (9*nhg, 128) table through the hi/lo hierarchy
     gl = jnp.sum(Jp * wres[:, None, :], axis=0)  # (3, ts)
@@ -845,8 +917,17 @@ def seg_assemble_rig(J_r, J_p, res, w, rig_local, pt_local, hib, r_bases,
         return (g_r, diag_r, buf[:n_pts, :3],
                 buf[:n_pts, 3:].reshape(n_pts, 3, 3))
     xpad = ((n_rows + rb + 7) // 8) * 8
+    win = not _rig_resident(xpad, J_r.dtype)
+    if win:
+        y_spec = pl.BlockSpec((1, rb, 2 * k), lambda i, b, h: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        y_shape = jax.ShapeDtypeStruct((nt, rb, 2 * k), J_r.dtype)
+    else:
+        y_spec = pl.BlockSpec((xpad, 2 * k), lambda i, b, h: (0, 0),
+                              memory_space=pltpu.VMEM)
+        y_shape = jax.ShapeDtypeStruct((xpad, 2 * k), J_r.dtype)
     y, t = pl.pallas_call(
-        partial(_assemble_rig_kernel, rb, nhw, nhg),
+        partial(_assemble_rig_kernel, rb, nhw, nhg, win),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nt,),
@@ -865,14 +946,13 @@ def seg_assemble_rig(J_r, J_p, res, w, rig_local, pt_local, hib, r_bases,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((xpad, 2 * k), lambda i, b, h: (0, 0),
-                             memory_space=pltpu.VMEM),
+                y_spec,
                 pl.BlockSpec((9 * nhg, 128), lambda i, b, h: (0, 0),
                              memory_space=pltpu.VMEM),
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((xpad, 2 * k), J_r.dtype),
+            y_shape,
             jax.ShapeDtypeStruct((9 * nhg, 128), J_r.dtype),
         ),
     )(
@@ -885,7 +965,11 @@ def seg_assemble_rig(J_r, J_p, res, w, rig_local, pt_local, hib, r_bases,
         J_r,
         J_p,
     )
-    g_r, diag_r = y[:n_rows, :k], y[:n_rows, k:]
+    if win:
+        y = scatter_partials(y, _rows_from_bases(r_bases, nt, rb), n_rows, rb)
+    else:
+        y = y[:n_rows]
+    g_r, diag_r = y[:, :k], y[:, k:]
     pt = pt_table_from_kernel(t, n_pts, D=9)  # (n_pts, 9)
     g_l = pt[:, :3]
     tri = pt[:, 3:]  # [H00,H01,H02,H11,H12,H22]
@@ -1231,8 +1315,8 @@ def _zk_solve(t, hk, nhg):
 # rb=112 for exactly this reason).
 
 
-def _down_light_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
-                       w_ref, x_ref, jr_ref, jp_ref, t_ref, wu_ref):
+def _down_light_kernel(rb, nhw, nhg, win, rbases_ref, hib_ref, rloc_ref,
+                       ploc_ref, w_ref, x_ref, jr_ref, jp_ref, t_ref, wu_ref):
     i, c = pl.program_id(0), pl.program_id(1)
     base = pl.multiple_of(rbases_ref[i], 8)
     hb = pl.multiple_of(hib_ref[i], 8)
@@ -1244,7 +1328,8 @@ def _down_light_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
     hi, lo = _hi_lo(ploc_ref[0, 0])
     ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)
     ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)
-    xgT = _SEL_DOT_MV(x_ref[pl.ds(base, rb), :], ohr, ((0,), (0,)))
+    xt = x_ref[0] if win else x_ref[pl.ds(base, rb), :]  # (rb, k)
+    xgT = _SEL_DOT_MV(xt, ohr, ((0,), (0,)))
     Jr = jr_ref[:].astype(xgT.dtype)
     wu = jnp.sum(Jr * xgT[None, :, :], axis=1) * w_ref[0, 0][None, :]
     wu_ref[:] = wu.astype(wu_ref.dtype)
@@ -1259,15 +1344,22 @@ def _down_light_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
             + P[j * nhw:(j + 1) * nhw].astype(t_ref.dtype))
 
 
-def _up_du_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
+def _up_du_kernel(rb, nhw, nhg, win, rbases_ref, hib_ref, rloc_ref, ploc_ref,
                   w_ref, zk_ref, wu_ref, jr_ref, jp_ref, y_ref):
     i, c = pl.program_id(0), pl.program_id(1)
     base = pl.multiple_of(rbases_ref[i], 8)
     hb = pl.multiple_of(hib_ref[i], 8)
 
-    @pl.when((i == 0) & (c == 0))
-    def _():
-        y_ref[:] = jnp.zeros_like(y_ref)
+    if win:
+        # windowed: the tile's (rb, k) HBM partial accumulates over the
+        # chunk dim only (block index is constant in c -> stays in VMEM)
+        @pl.when(c == 0)
+        def _():
+            y_ref[0] = jnp.zeros_like(y_ref[0])
+    else:
+        @pl.when((i == 0) & (c == 0))
+        def _():
+            y_ref[:] = jnp.zeros_like(y_ref)
 
     hi, lo = _hi_lo(ploc_ref[0, 0])
     ohlo = _oh_t(lo, 128).astype(jnp.bfloat16)
@@ -1285,8 +1377,11 @@ def _up_du_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
     contrib = jnp.sum(jr_ref[:].astype(du.dtype) * du[:, None, :], axis=0)
     ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)
     part = _SEL_DOT_MV(ohr, contrib, ((1,), (1,)))
-    y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
-                                 + part.astype(y_ref.dtype))
+    if win:
+        y_ref[0] = y_ref[0] + part.astype(y_ref.dtype)
+    else:
+        y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
+                                     + part.astype(y_ref.dtype))
 
 
 def seg_schur_pcg(J_r, J_p, w, rig_local, pt_local, hib, x_table, hinv,
@@ -1307,6 +1402,7 @@ def seg_schur_pcg(J_r, J_p, w, rig_local, pt_local, hib, x_table, hinv,
     tsc = _schur_chunk(ts, rb, nhw)
     nc = ts // tsc
     xp, npad = _table_pad(x_table, rb)
+    win = not _rig_resident(npad, w.dtype)
     hk = pt_table_to_kernel(hinv.reshape(-1, 9), nhg)  # (9*nhg, 128)
     loc_spec = lambda: pl.BlockSpec(  # noqa: E731
         (1, 1, tsc), lambda i, c, b, h: (i, 0, c), memory_space=pltpu.VMEM)
@@ -1321,37 +1417,51 @@ def seg_schur_pcg(J_r, J_p, w, rig_local, pt_local, hib, x_table, hinv,
                            memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec((3 * nhg, 128), lambda i, c, b, h: (0, 0),
                             memory_space=pltpu.VMEM)
+    if win:
+        rows = _rows_from_bases(r_bases, nt, rb)
+        x_arg = gather_tiles(x_table, rows, nt, rb)  # (nt, rb, k)
+        x_spec = pl.BlockSpec((1, rb, k), lambda i, c, b, h: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        y_spec = pl.BlockSpec((1, rb, k), lambda i, c, b, h: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        y_shape = jax.ShapeDtypeStruct((nt, rb, k), w.dtype)
+    else:
+        x_arg = xp
+        x_spec = pl.BlockSpec((npad, k), lambda i, c, b, h: (0, 0),
+                              memory_space=pltpu.VMEM)
+        y_spec = pl.BlockSpec((npad, k), lambda i, c, b, h: (0, 0),
+                              memory_space=pltpu.VMEM)
+        y_shape = jax.ShapeDtypeStruct((npad, k), w.dtype)
     scalars = (r_bases.astype(jnp.int32), hib.astype(jnp.int32))
     locs = (rig_local.reshape(nt, 1, ts).astype(jnp.int32),
             pt_local.reshape(nt, 1, ts).astype(jnp.int32),
             w.reshape(nt, 1, ts))
     t, wu = pl.pallas_call(
-        partial(_down_light_kernel, rb, nhw, nhg),
+        partial(_down_light_kernel, rb, nhw, nhg, win),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nt, nc),
-            in_specs=[loc_spec(), loc_spec(), loc_spec(),
-                      pl.BlockSpec((npad, k), lambda i, c, b, h: (0, 0),
-                                   memory_space=pltpu.VMEM),
+            in_specs=[loc_spec(), loc_spec(), loc_spec(), x_spec,
                       jr_spec, jp_spec],
             out_specs=(tab_spec, wu_spec),
         ),
         out_shape=(jax.ShapeDtypeStruct((3 * nhg, 128), w.dtype),
                    jax.ShapeDtypeStruct((d, nt * ts), w.dtype)),
-    )(*scalars, *locs, xp, J_r, J_p)
+    )(*scalars, *locs, x_arg, J_r, J_p)
     zk = _zk_solve(t, hk, nhg)
     y = pl.pallas_call(
-        partial(_up_du_kernel, rb, nhw, nhg),
+        partial(_up_du_kernel, rb, nhw, nhg, win),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nt, nc),
             in_specs=[loc_spec(), loc_spec(), loc_spec(),
                       tab_spec, wu_spec, jr_spec, jp_spec],
-            out_specs=pl.BlockSpec((npad, k), lambda i, c, b, h: (0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=y_spec,
         ),
-        out_shape=jax.ShapeDtypeStruct((npad, k), w.dtype),
+        out_shape=y_shape,
     )(*scalars, *locs, zk, wu, J_r, J_p)
+    if win:
+        return scatter_partials(y, rows, n_rows, rb)
     return y[:n_rows]
 
 
@@ -1748,15 +1858,20 @@ def seg_assemble_cal(J_r, J_c, J_p, res, w, rig_local, cal_local, pt_local,
     return g_r, diag_r, g_c, diag_c, blocks_c, g_l, H
 
 
-def _precond_rig_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
-                        w_ref, h_ref, jr_ref, jp_ref, y_ref):
+def _precond_rig_kernel(rb, nhw, nhg, win, rbases_ref, hib_ref, rloc_ref,
+                        ploc_ref, w_ref, h_ref, jr_ref, jp_ref, y_ref):
     i, c = pl.program_id(0), pl.program_id(1)
     base = pl.multiple_of(rbases_ref[i], 8)
     hb = pl.multiple_of(hib_ref[i], 8)
 
-    @pl.when((i == 0) & (c == 0))
-    def _():
-        y_ref[:] = jnp.zeros_like(y_ref)
+    if win:
+        @pl.when(c == 0)
+        def _():
+            y_ref[0] = jnp.zeros_like(y_ref[0])
+    else:
+        @pl.when((i == 0) & (c == 0))
+        def _():
+            y_ref[:] = jnp.zeros_like(y_ref)
 
     # gather the 9 H_ll^-1 entries per observation from the resident table
     hi, lo = _hi_lo(ploc_ref[0, 0])
@@ -1786,8 +1901,11 @@ def _precond_rig_kernel(rb, nhw, nhg, rbases_ref, hib_ref, rloc_ref, ploc_ref,
     E = (B - corr).reshape(k * k, tsc)  # full square (host symmetrizes)
     ohr = _oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, tsc)
     part = _sel_dot(ohr, E, ((1,), (1,)))  # (rb, k*k)
-    y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
-                                 + part.astype(y_ref.dtype))
+    if win:
+        y_ref[0] = y_ref[0] + part.astype(y_ref.dtype)
+    else:
+        y_ref[pl.ds(base, rb), :] = (y_ref[pl.ds(base, rb), :]
+                                     + part.astype(y_ref.dtype))
 
 
 def seg_precond_rig(J_r, J_p, w, rig_local, pt_local, hib, hinv, r_bases,
@@ -1815,11 +1933,22 @@ def seg_precond_rig(J_r, J_p, w, rig_local, pt_local, hib, hinv, r_bases,
     npad = ((n_rows + rb + 7) // 8) * 8
     # bf16 H_ll^-1 table (and callers pass bf16 J): the blocks feed the
     # block-Jacobi preconditioner only, so the selection dots run 1-split —
-    # the LowerPrecSolvePrecond trade (reference Preconditioner.h:163)
+    # the LowerPrecSolvePrecond trade (reference Preconditioner.h:163).
+    # engine._precond_inv carries the matching definiteness safeguard
+    # (escalating diagonal bump, Preconditioner.h:186-219).
     hk = pt_table_to_kernel(hinv.reshape(-1, 9), nhg).astype(jnp.bfloat16)
     ntri = k * k
+    win = not _rig_resident(npad, w.dtype)
+    if win:
+        y_spec = pl.BlockSpec((1, rb, ntri), lambda i, c, b, h: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        y_shape = jax.ShapeDtypeStruct((nt, rb, ntri), w.dtype)
+    else:
+        y_spec = pl.BlockSpec((npad, ntri), lambda i, c, b, h: (0, 0),
+                              memory_space=pltpu.VMEM)
+        y_shape = jax.ShapeDtypeStruct((npad, ntri), w.dtype)
     y = pl.pallas_call(
-        partial(_precond_rig_kernel, rb, nhw, nhg),
+        partial(_precond_rig_kernel, rb, nhw, nhg, win),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nt, nc),
@@ -1839,10 +1968,9 @@ def seg_precond_rig(J_r, J_p, w, rig_local, pt_local, hib, hinv, r_bases,
                              lambda i, c, b, h: (0, 0, i * (ts // tsc) + c),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((npad, ntri), lambda i, c, b, h: (0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=y_spec,
         ),
-        out_shape=jax.ShapeDtypeStruct((npad, ntri), w.dtype),
+        out_shape=y_shape,
     )(
         r_bases.astype(jnp.int32),
         hib.astype(jnp.int32),
@@ -1853,7 +1981,11 @@ def seg_precond_rig(J_r, J_p, w, rig_local, pt_local, hib, hinv, r_bases,
         J_r,
         J_p,
     )
-    M = y[:n_rows].reshape(n_rows, k, k)
+    if win:
+        y = scatter_partials(y, _rows_from_bases(r_bases, nt, rb), n_rows, rb)
+    else:
+        y = y[:n_rows]
+    M = y.reshape(n_rows, k, k)
     # exact symmetry (CG needs a symmetric preconditioner; the dense corr
     # accumulation can differ in the last ulp between (a,b) and (b,a))
     return 0.5 * (M + jnp.swapaxes(M, -1, -2))

@@ -136,7 +136,7 @@ def _small_gather(tab_ref, idx, D):
     return [G[j, :] for j in range(D)]
 
 
-def _visual_kernel(kind, rb, nhw, nhg, with_jac, rbases_ref, hib_ref,
+def _visual_kernel(kind, rb, nhw, nhg, with_jac, win, rbases_ref, hib_ref,
                    rloc_ref, ploc_ref, pad_ref, iw_ref, ie_ref, ib_ref,
                    bon_ref, uv_ref, sh_ref, pose_ref, pt_ref, intr_ref,
                    extr_ref, bias_ref, res_ref, val_ref, jp_ref=None,
@@ -147,7 +147,11 @@ def _visual_kernel(kind, rb, nhw, nhg, with_jac, rbases_ref, hib_ref,
 
     # --- gathers (all lane-major) ---
     ohr = seg._oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)  # (rb, ts)
-    PG = seg._sel_dot(pose_ref[pl.ds(base, rb), :], ohr, ((0,), (0,)))
+    # windowed pose table: pre-gathered (rb, 13) tile window instead of the
+    # grid-resident (npad_r, 13) table (capacity scales, see
+    # seg.RIG_RESIDENT_MAX_BYTES)
+    pose_tile = pose_ref[0] if win else pose_ref[pl.ds(base, rb), :]
+    PG = seg._sel_dot(pose_tile, ohr, ((0,), (0,)))
     Tq = (PG[0, :], PG[1, :], PG[2, :], PG[3, :])
     Tt = (PG[4, :], PG[5, :], PG[6, :])
     rmask = [PG[7 + j, :] for j in range(6)]
@@ -246,6 +250,15 @@ def _run(camera_kind, data, v, masks, info, with_jac):
                else jnp.ones_like(v.points))
     poseM = jnp.concatenate([v.pose_q, v.pose_t, rig_mask], axis=1)
     poseM, npad_r = seg._table_pad(poseM, rb)
+    win = not seg._rig_resident(npad_r)
+    if win:
+        # capacity scales: per-tile (rb, 13) pose windows instead of the
+        # grid-resident (npad_r, 13) table (see seg.RIG_RESIDENT_MAX_BYTES)
+        rows = seg._rows_from_bases(data["_rb_base"].astype(jnp.int32),
+                                    nt, rb)
+        poseM = seg.gather_tiles(poseM, rows, nt, rb)
+        pose_spec = pl.BlockSpec((1, rb, 13), lambda i, b, h: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
     ptM = seg.pt_table_to_kernel(
         jnp.concatenate([v.points, pt_mask], axis=1), nhg)
     intr_tab = _pad_rows(v.cam_intr)
@@ -259,6 +272,8 @@ def _run(camera_kind, data, v, masks, info, with_jac):
                            memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i, b, h: (0,) * len(shape),  # noqa: E731
                                        memory_space=pltpu.VMEM)
+    if not win:
+        pose_spec = const((npad_r, 13))
     out_specs = [
         pl.BlockSpec((2, ts), lambda i, b, h: (0, i),
                      memory_space=pltpu.VMEM),
@@ -281,7 +296,7 @@ def _run(camera_kind, data, v, masks, info, with_jac):
             jax.ShapeDtypeStruct((2, 12, N), dtype),
         ]
     return pl.pallas_call(
-        partial(_visual_kernel, camera_kind, rb, nhw, nhg, with_jac),
+        partial(_visual_kernel, camera_kind, rb, nhw, nhg, with_jac, win),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nt,),
@@ -291,7 +306,7 @@ def _run(camera_kind, data, v, masks, info, with_jac):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((4, ts), lambda i, b, h: (0, i),
                              memory_space=pltpu.VMEM),
-                const((npad_r, 13)),
+                pose_spec,
                 const((6 * nhg, 128)),
                 const((nwp, ndim)),
                 const((nep, 7)),

@@ -335,7 +335,42 @@ def _inv_spd_small(B):
 _INV_UNROLL_MAX_DIM = 17
 
 
+def _spd_min_pivot(B):
+    """Smallest Cholesky pivot per block (same unrolled recursion as
+    _inv_spd_small, values only — no inverse)."""
+    d = B.shape[-1]
+    L = [[None] * d for _ in range(d)]
+    mp = None
+    for j in range(d):
+        s = B[..., j, j] - sum(L[j][k] * L[j][k] for k in range(j))
+        mp = s if mp is None else jnp.minimum(mp, s)
+        inv_ljj = 1.0 / jnp.sqrt(jnp.maximum(s, 1e-30))
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+        for i in range(j + 1, d):
+            t = B[..., i, j] - sum(L[i][k] * L[j][k] for k in range(j))
+            L[i][j] = t * inv_ljj
+    return mp
+
+
 def _precond_inv(B):
+    """Inverse of block-Jacobi preconditioner blocks, with the
+    LowerPrecSolvePrecond definiteness safeguard (Preconditioner.h:186-219):
+    the bf16 block accumulation (rcs._precond_finish / seg_precond_rig) can
+    round a nearly-Schur-cancelled block indefinite; an indefinite
+    preconditioner silently breaks CG. Escalating diagonal bumps are applied
+    only to blocks whose Cholesky pivots fail — exact blocks pass through
+    untouched."""
+    eye = jnp.eye(B.shape[-1], dtype=B.dtype)
+    diag = jnp.diagonal(B, axis1=-2, axis2=-1)
+    scale = jnp.maximum(jnp.max(jnp.abs(diag), axis=-1), 1e-30)
+    # dtype-aware failure threshold (the reference bumps only when the
+    # factorization actually fails): legitimately ill-conditioned blocks in
+    # exact arithmetic must pass untouched, bf16/f32-rounded indefinite
+    # blocks (pivot < 0 at working precision) must not
+    tol = 10.0 * float(jnp.finfo(B.dtype).eps)
+    for bump in (1e-4, 1e-2, 1.0):
+        bad = ~(_spd_min_pivot(B) > scale * tol)
+        B = B + (jnp.where(bad, bump, 0.0) * scale)[..., None, None] * eye
     if B.shape[-1] <= _INV_UNROLL_MAX_DIM:
         return _inv_spd_small(B)
     return jnp.linalg.inv(B)

@@ -286,6 +286,15 @@ class Problem:
         )
 
 
+def _is_compile_failure(e: Exception) -> bool:
+    """Compiler/lowering failure (vs a numerical or user error): the one-jit
+    iteration falls back to split dispatch only for these."""
+    msg = f"{type(e).__name__}: {e}".lower()
+    return any(s in msg for s in (
+        "out of memory", "vmem", "resource exhausted", "resource_exhausted",
+        "mosaic", "compil", "aot pjrt", "xlaruntimeerror"))
+
+
 def optimize(problem: Problem, settings: LMSettings) -> Summary:
     (k_lin, k_solve, k_resolve, k_cost, k_grad, k_retract,
      k_assemble, k_step) = problem._build()
@@ -319,11 +328,25 @@ def optimize(problem: Problem, settings: LMSettings) -> Summary:
         k_iter = getattr(problem, "_k_iter", None)
         if k_iter is not None:
             # whole iteration in ONE jit call (one tunnel round-trip)
-            lg, asm, out0 = k_iter(
-                datas, v, masks, alive if dont_retry_failed else None,
-                jnp.asarray(damping), pcg_iters, settings.pcg_tol,
-                settings.preconditioner)
-        else:
+            try:
+                lg, asm, out0 = k_iter(
+                    datas, v, masks, alive if dont_retry_failed else None,
+                    jnp.asarray(damping), pcg_iters, settings.pcg_tol,
+                    settings.preconditioner)
+            except Exception as e:  # noqa: BLE001
+                if iteration > 0 or not _is_compile_failure(e):
+                    raise
+                # the fused whole-iteration program can exceed compile-time
+                # limits (e.g. the scoped-VMEM stack) at scales where the
+                # smaller split programs still fit; a user session must
+                # degrade to the split dispatch, not die (BENCH_r04 OOM at
+                # 21.6k rigs — the reference's PCG-switch scale,
+                # Settings.cpp:296-320)
+                log(f" ?:# one-jit iteration failed to compile "
+                    f"({type(e).__name__}); falling back to split dispatch")
+                problem._k_iter = None
+                k_iter = None
+        if k_iter is None:
             lg = k_lin(datas, v, masks, alive if dont_retry_failed else None)
             asm = k_assemble(datas, lg, v, masks)
             out0 = None

@@ -158,7 +158,7 @@ def finalize_blocks(problem, rb: int = 128, prb: int = 128, ts: int = 4096,
             continue  # tiny batch: generic path is fine
         # calib-coupled batches tile at rb=112 so rb + wb <= 128: the fused
         # PCG matvec then packs the rig and window one-hots into a single
-        # 128-row MXU selection tile (_schur_pcg_cal2_kernel)
+        # 128-row MXU selection tile (_down_light_cal_kernel/_up_du_cal_kernel)
         rb_b = rb
         if (cal_est and rb == 128 and "intr" in data and cal_rows_eq
                 and np.array_equal(np.asarray(data["intr"]),
@@ -439,7 +439,7 @@ def _vis_batches(cfgs, datas, lg):
             if J_cal is not None:
                 J_cal_mv = J_cal.astype(jnp.bfloat16)
                 # pad the cal column count to a sublane multiple (8): the
-                # stacked fused kernel (_schur_pcg_cal2_kernel) then slices
+                # stacked matvec kernels (_down_light_cal_kernel/_up_du_cal_kernel) then slice
                 # its gathered (kc+k, tsc) array at aligned row boundaries
                 # only — misaligned sublane slices cost a Mosaic relayout
                 # of the whole chunk per phase
