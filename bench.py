@@ -285,16 +285,22 @@ def timed_iterations(problem, n_iters, pcg_iters=40):
     # fresh-variables signature, the second at the jit-output signature the
     # chained loop actually runs on (layouts differ; a single warmup leaves
     # a ~40 s remote recompile INSIDE the timed window — this was the
-    # source of the bogus 0.085 iters/s full-sensor number in BENCH_r02)
+    # source of the bogus 0.085 iters/s full-sensor number in BENCH_r02).
+    # Syncs are SCALAR FETCHES, not block_until_ready: through the axon
+    # tunnel block_until_ready returns at enqueue, so a chained loop short
+    # enough to fit the dispatch queue would otherwise time pure dispatch
+    # (observed: a fantasy 262 it/s at the full-sensor shape). float() of
+    # the last iteration's cost depends on the whole chain -> real sync;
+    # its single ~50 ms RPC amortizes across the iterations.
     v2, stats = one_iter(v)
     v2, stats = one_iter(v2)
-    jax.block_until_ready((v2, stats))
+    float(stats.cost)
     t0 = time.time()
     for _ in range(n_iters):
         v2, stats = one_iter(v2)
-    jax.block_until_ready((v2, stats))
+    cost = float(stats.cost)  # sync: depends on every chained iteration
     dt = (time.time() - t0) / n_iters
-    return 1.0 / dt, float(stats.cost)
+    return 1.0 / dt, cost
 
 
 def _note(msg):

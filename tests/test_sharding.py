@@ -140,8 +140,9 @@ def test_sharded_substep_resolve_matches_single_device():
                                rtol=1e-3, atol=1e-6)
 
 
-@pytest.mark.slow  # smoke-gate budget (round-4 VERDICT #8): <300 s
 def test_landmark_halo_sharding_matches_and_drops_table_psum():
+    # smoke-gate anchor (round-4 VERDICT ask #4): the compiled-HLO assertion
+    # that no (L,3)/(R,12) all-reduce survives in the PCG loop
     """Round-2 VERDICT item 7 (SURVEY §7 step 8 landmark shards): with
     finite-lifetime tracks the per-PCG-matvec landmark reduction rides a
     neighbor halo exchange — the compiled sharded step must contain NO

@@ -40,6 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 from . import segments as seg
 from .visual_fused import _PROJ, _pad_rows, _small_gather, MIN_Z
 
+# bf16 split count for the in-kernel table gathers (pose / point / RS
+# slab): 2 splits keep ~16 mantissa bits (~1.5e-5 relative) at 2/3 the
+# MXU cost of the exact 3-split (PERF_NOTES round-4+ candidate #2).
+GATHER_SPLITS = 2
+
 # ---------------------------------------------------------------------------
 # componentized quaternion / motion-integral helpers on lane vectors
 # (mirror ops/lie.py and ops/motion.py exactly, incl. the double-where
@@ -142,7 +147,13 @@ def _rs_kernel(kind, rb, nhw, nhg, K, with_jac, with_cal, *refs):
 
     # --- gathers (all lane-major; see visual_fused._visual_kernel) ---
     ohr = seg._oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)
-    PG = seg._sel_dot(pose_ref[pl.ds(base, rb), :], ohr, ((0,), (0,)))
+    # 2-split bf16 gathers (~1.5e-5 relative rounding of primal values,
+    # well inside the kernel's 1e-4 res / 3e-4 J accuracy bounds and below
+    # the bf16-J matvec rounding the solve already carries): 1/3 off the
+    # MXU cycles of every table gather in BOTH the linearize and the
+    # residual-only (comparable-cost) passes
+    PG = seg._sel_dot(pose_ref[pl.ds(base, rb), :], ohr, ((0,), (0,)),
+                      n=GATHER_SPLITS)
     Tq0 = (PG[0, :], PG[1, :], PG[2, :], PG[3, :])
     Tt0 = (PG[4, :], PG[5, :], PG[6, :])
     V0 = (PG[7, :], PG[8, :], PG[9, :])
@@ -154,7 +165,7 @@ def _rs_kernel(kind, rb, nhw, nhg, K, with_jac, with_cal, *refs):
     ohhi = seg._oh_t(hi, nhw)
     Zw = jnp.concatenate(
         [pt_ref[pl.ds(j * nhg + hb, nhw), :] for j in range(6)], axis=0)
-    Gt = seg._sel_dot(Zw, ohlo, ((1,), (0,)))
+    Gt = seg._sel_dot(Zw, ohlo, ((1,), (0,)), n=GATHER_SPLITS)
     col = [jnp.sum(jnp.where(ohhi, Gt[j * nhw:(j + 1) * nhw, :], 0.0), axis=0)
            for j in range(6)]
     P0 = (col[0], col[1], col[2])
@@ -189,7 +200,8 @@ def _rs_kernel(kind, rb, nhw, nhg, K, with_jac, with_cal, *refs):
     group = max(1, 128 // K)
 
     def _slab_rows(g0, g1):
-        blk = seg._sel_dot(sl[:, g0 * K:g1 * K], ohr, ((0,), (0,)))
+        blk = seg._sel_dot(sl[:, g0 * K:g1 * K], ohr, ((0,), (0,)),
+                           n=GATHER_SPLITS)
         return [jax.lax.slice_in_dim(blk, (c - g0) * K, (c - g0 + 1) * K,
                                      axis=0) for c in range(g0, g1)]
 

@@ -384,6 +384,94 @@ def _split(cfgs, lg):
     return vis, rest, rest_pt
 
 
+class RestStack(NamedTuple):
+    """Stacked SoA operand for the rest-graph (non-visual) Hessian matvec:
+    one residual-dim bucket of lins, variable slots padded to S, tangent
+    columns padded to the packed width K. rows index the PACKED reduced
+    state; row nb is a shared zero dummy for pad slots."""
+
+    rows: jnp.ndarray  # (S, N) int32 packed-row ids
+    J: jnp.ndarray  # (S, d, K, N)
+    w: jnp.ndarray  # (N,)
+
+
+def build_rest_stacks(rest, v):
+    """Stack the rest lins into one SoA operand per residual-dim bucket.
+
+    engine._hmatvec over the rest graph evaluates ~250 tiny einsum/gather/
+    scatter ops per PCG matvec (counted at the full-sensor bench shape),
+    ~0.5 ms of pure op overhead x 40 iterations per LM step. The stacked
+    form is ~5 ops per d-bucket over identical values: one row gather from
+    the packed state, two elementwise contractions, one row scatter-add.
+    The K-padding costs ~70 MB of extra J reads per matvec at the bench
+    shape (~0.1 ms of HBM) — op count, not bandwidth, is what the 40x loop
+    pays for. Reference analog: the assembled block-sparse Hessian reused
+    across the solve (lib/small_thing/Optimizer.cpp:166-331). Point slots
+    are dropped: the reduced matvec evaluates H_rr only (x_l = 0, y_l
+    discarded — exactly engine._hmatvec's use here)."""
+    counts, dims, K = _pack_info(zero_tangent(v))
+    offs = _packed_sections(counts)
+    off_by = dict(zip(Tangent._fields, offs))
+    nb = sum(counts)
+    dtype = v.points.dtype
+    buckets = {}
+    for lin, w in zip(rest.lins, rest.w):
+        entries = [(g, ix, J) for g, ix, J in zip(lin.groups, lin.idx, lin.jac)
+                   if g != fct.POINTS]
+        if not entries:
+            continue
+        d = entries[0][2].shape[0]
+        buckets.setdefault(d, []).append((entries, w))
+    stacks = []
+    for d, items in sorted(buckets.items()):
+        S = max(len(e) for e, _ in items)
+        rows_p, J_p, w_p = [], [], []
+        for entries, w in items:
+            N = w.shape[0]
+            slot_rows, slot_J = [], []
+            for s in range(S):
+                if s < len(entries):
+                    g, ix, J = entries[s]
+                    if g == fct.GRAVITY:
+                        r = jnp.full((N,), off_by[g], jnp.int32)
+                    else:
+                        r = off_by[g] + ix.astype(jnp.int32)
+                    k = J.shape[1]
+                    slot_J.append(jnp.pad(J.astype(dtype),
+                                          ((0, 0), (0, K - k), (0, 0))))
+                else:
+                    r = jnp.full((N,), nb, jnp.int32)
+                    slot_J.append(jnp.zeros((d, K, N), dtype))
+                slot_rows.append(r)
+            rows_p.append(jnp.stack(slot_rows))
+            J_p.append(jnp.stack(slot_J))
+            w_p.append(w.astype(dtype))
+        stacks.append(RestStack(jnp.concatenate(rows_p, axis=-1),
+                                jnp.concatenate(J_p, axis=-1),
+                                jnp.concatenate(w_p, axis=-1)))
+    return tuple(stacks)
+
+
+def rest_hmatvec(stacks, v, x: Tangent) -> Tangent:
+    """H_rest x via the stacked operands — value-identical (up to summation
+    order) to engine._hmatvec(rest, v, x, 0) over the reduced groups."""
+    counts, dims, K = _pack_info(x)
+    nb = sum(counts)
+    xp = pack_t(x, counts, dims, K)
+    xe = jnp.concatenate([xp, jnp.zeros((1, K), xp.dtype)], axis=0)
+    yp = jnp.zeros((nb + 1, K), xp.dtype)
+    for st in stacks:
+        xgT = jnp.swapaxes(xe[st.rows], 1, 2)  # (S, K, N)
+        # elementwise contractions (VPU, f32/f64-exact): bare einsums would
+        # lower to DEFAULT-precision MXU dots (PERF_NOTES lesson 4)
+        u = jnp.sum(st.J * xgT[:, None, :, :], axis=(0, 2))  # (d, N)
+        wu = u * st.w[None, :]
+        contrib = jnp.sum(st.J * wu[None, :, None, :], axis=1)  # (S, K, N)
+        yp = yp.at[st.rows.reshape(-1)].add(
+            jnp.swapaxes(contrib, 1, 2).reshape(-1, K))
+    return unpack_t(yp[:nb], counts, dims, K)
+
+
 def _vis_batches(cfgs, datas, lg):
     """[(VisBatch, Lin)] for every blocked visual batch."""
     out = []
@@ -491,6 +579,7 @@ class RcsAsm(NamedTuple):
     g_l: jnp.ndarray  # gradient (landmarks)
     A_rp: tuple  # per vis batch: (12, 3, N) Jw_rig x J_pt (for the precond corr)
     blocks0: dict  # per-group UNdamped block-Jacobi blocks (Schur corr not yet applied)
+    rest_stacks: tuple = ()  # tuple[RestStack]: stacked rest-Hessian operands
 
 
 class RcsSystem(NamedTuple):
@@ -502,6 +591,7 @@ class RcsSystem(NamedTuple):
     diag_r: Tangent  # undamped reduced diagonal
     lam: jnp.ndarray
     precond_inv: Tangent
+    rest_stacks: tuple = ()  # tuple[RestStack]: stacked rest-Hessian operands
 
 
 def _point_blocks_blocked(vis, rest, v, lam):
@@ -749,7 +839,8 @@ def assemble(cfgs, datas, lg, v, masks: Masks, axis=None) -> RcsAsm:
         H_ll0 = H_ll0 + H_b
     H_ll0, diag_r, g_r, g_l, blocks0 = _maybe_psum(
         (H_ll0, diag_r, g_r, g_l, blocks0), axis)
-    return RcsAsm(vis, rest, rest_pt, H_ll0, diag_r, g_r, g_l, A_rp, blocks0)
+    return RcsAsm(vis, rest, rest_pt, H_ll0, diag_r, g_r, g_l, A_rp, blocks0,
+                  build_rest_stacks(rest, v))
 
 
 def with_damping(asm: RcsAsm, v, masks, lam, precond="gauss_seidel",
@@ -762,7 +853,7 @@ def with_damping(asm: RcsAsm, v, masks, lam, precond="gauss_seidel",
     H_ll_inv = engine._inv3(H_ll)
     precond_inv = _precond_finish(asm, v, masks, lam, H_ll_inv, precond, axis)
     return RcsSystem(asm.vis, asm.rest, asm.rest_pt, H_ll, H_ll_inv,
-                     asm.diag_r, lam, precond_inv)
+                     asm.diag_r, lam, precond_inv, asm.rest_stacks)
 
 
 # ---------------------------------------------------------------------------
@@ -1082,9 +1173,7 @@ def _matvec_factor_sums(rs: RcsSystem, v, x: Tangent, axis=None,
                 v.points.shape[0], b.info.nt, b.info.ts, b.info.rb,
                 b.info.prb2 // 128, b.info.nhg)
             y[fct.RIG] = y[fct.RIG] + _padk(y_r, b.rig_k)
-        hx_rest, _ = engine._hmatvec(
-            engine.LinearizedGraph(rs.rest.lins, rs.rest.w, 0.0, (), (), 0, 0),
-            v, x, jnp.zeros_like(v.points))
+        hx_rest = rest_hmatvec(rs.rest_stacks, v, x)
         return jax.tree_util.tree_map(jnp.add, Tangent(**y), hx_rest)
     y = zero_tangent(v)._asdict()
     t = jnp.zeros_like(v.points)
@@ -1121,10 +1210,13 @@ def _matvec_factor_sums(rs: RcsSystem, v, x: Tangent, axis=None,
             wu = _vis_u(b, x) * b.w[None, :]
             y = _vis_scatter(b, y, wu)
         t = t + _pt_reduce(b, wu, t.shape[0])
-    hx_rest, hp_rest = engine._hmatvec(
-        engine.LinearizedGraph(rs.rest.lins, rs.rest.w, 0.0, (), (), 0, 0),
-        v, x, jnp.zeros_like(v.points))
+    hx_rest = rest_hmatvec(rs.rest_stacks, v, x)
     if rs.rest_pt.lins:  # point-coupled non-blocked batches: W^T x side
+        # H_lr x needs the point rows too (rest_stacks drop them)
+        _, hp_rest = engine._hmatvec(
+            engine.LinearizedGraph(rs.rest_pt.lins, rs.rest_pt.w, 0.0, (),
+                                   (), 0, 0),
+            v, x, jnp.zeros_like(v.points))
         t = t + hp_rest
     hx = jax.tree_util.tree_map(jnp.add, Tangent(**y), hx_rest)
     if axis is not None and pt_plan is not None:
