@@ -52,51 +52,137 @@ FULL_POINTS = 60000
 FULL_TIMED_ITERS = 5
 
 
-def build_problem():
-    from visual_inertial_bundle_adjustment_tpu.pipeline.builder import (
-        BuildOptions,
-        build_synthetic_problem,
-    )
-    from visual_inertial_bundle_adjustment_tpu.pipeline.synthetic import SyntheticSession
+# --- problem-build cache ----------------------------------------------------
+# The four synthetic problem builds (host-side numpy: observation
+# generation, triangulation, preintegration) cost ~12 min of the driver's
+# bench budget and are deterministic in the workload constants. Built
+# problems are pickled (host arrays) into a per-machine cache dir; a cache
+# hit restores in seconds. Keyed by the workload parameters — delete
+# /tmp/viba_bench_problems (or set VIBA_BENCH_PROBLEM_CACHE=0) after
+# changing builder/pipeline code if stale shapes are suspected.
 
-    s = SyntheticSession(
-        duration=DURATION, keyframe_hz=KEYFRAME_HZ, gyro_hz=800.0, accel_hz=800.0,
-        num_points=NUM_POINTS, seed=17, pixel_noise=0.3,
-        track_lifetime_sec=TRACK_LIFETIME,
-    )
-    return build_synthetic_problem(
-        s,
-        BuildOptions(
-            init_pose_noise=0.005, init_point_noise=0.03, init_vel_noise=0.03,
-            estimate_imu_calib=True,
-            imu_calib_options=dict(accelBias=True, gyroBias=True),
-        ),
-    )
+_PROBLEM_CACHE_DIR = os.environ.get("VIBA_BENCH_PROBLEM_CACHE_DIR",
+                                    "/tmp/viba_bench_problems")
+
+
+def _problem_cache(key, build):
+    import pickle
+
+    import jax
+    import numpy as np
+
+    if os.environ.get("VIBA_BENCH_PROBLEM_CACHE", "1") == "0":
+        return build()
+
+    def to_host(tree):
+        return jax.tree_util.tree_map(
+            lambda a: np.asarray(a) if hasattr(a, "shape") else a, tree)
+
+    path = os.path.join(_PROBLEM_CACHE_DIR, key + ".pkl")
+    try:
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        from visual_inertial_bundle_adjustment_tpu.problem.optimizer import (
+            Problem,
+        )
+
+        # committed device placement, like the build paths (_put_default):
+        # jit executable keys depend on the committed bit
+        problem = Problem(jax.device_put(state["variables"]),
+                          jax.device_put(state["masks"]))
+        problem.cfgs = list(state["cfgs"])
+        problem.datas = [jax.device_put(d) for d in state["datas"]]
+        _note(f"problem '{key}' from cache ({path})")
+        return problem
+    except FileNotFoundError:
+        pass
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"problem cache read failed ({key}): {e}\n")
+    problem = build()
+    try:
+        os.makedirs(_PROBLEM_CACHE_DIR, exist_ok=True)
+        state = {
+            "variables": to_host(problem.variables),
+            "masks": to_host(problem.masks),
+            "cfgs": list(problem.cfgs),
+            "datas": [to_host(d) for d in problem.datas],
+        }
+        blob = pickle.dumps(state, -1)
+        with open(path + ".tmp", "wb") as f:
+            f.write(blob)
+        os.replace(path + ".tmp", path)
+        _note(f"problem '{key}' cached ({len(blob) // 2**20} MB)")
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"problem cache write failed ({key}): {e}\n")
+    return problem
+
+
+def build_problem():
+    def _build():
+        from visual_inertial_bundle_adjustment_tpu.pipeline.builder import (
+            BuildOptions,
+            build_synthetic_problem,
+        )
+        from visual_inertial_bundle_adjustment_tpu.pipeline.synthetic import (
+            SyntheticSession,
+        )
+
+        s = SyntheticSession(
+            duration=DURATION, keyframe_hz=KEYFRAME_HZ, gyro_hz=800.0,
+            accel_hz=800.0, num_points=NUM_POINTS, seed=17, pixel_noise=0.3,
+            track_lifetime_sec=TRACK_LIFETIME,
+        )
+        return build_synthetic_problem(
+            s,
+            BuildOptions(
+                init_pose_noise=0.005, init_point_noise=0.03,
+                init_vel_noise=0.03, estimate_imu_calib=True,
+                imu_calib_options=dict(accelBias=True, gyroBias=True),
+            ),
+        )
+
+    return _problem_cache(
+        f"bias_{DURATION:g}_{KEYFRAME_HZ:g}_{NUM_POINTS}_{TRACK_LIFETIME:g}",
+        _build)
 
 
 def build_full_sensor_problem(tmpdir):
     """BASELINE config-3/4 shape via the full session pipeline."""
-    from visual_inertial_bundle_adjustment_tpu.pipeline import session_data as sio
-    from visual_inertial_bundle_adjustment_tpu.pipeline.adapter import (
-        AdapterOptions,
-        SessionAdapter,
-    )
-    from visual_inertial_bundle_adjustment_tpu.pipeline.synthetic import SyntheticSession
-    from visual_inertial_bundle_adjustment_tpu.pipeline.synthetic_io import write_session_dir
 
-    s = SyntheticSession(
-        duration=FULL_DURATION, keyframe_hz=KEYFRAME_HZ, gyro_hz=800.0,
-        accel_hz=800.0, num_points=FULL_POINTS, seed=23, pixel_noise=0.3,
-        track_lifetime_sec=TRACK_LIFETIME,
-    )
-    write_session_dir(s, tmpdir, num_imus=2, readout_time_sec=0.03, seed=23)
-    sd = sio.load_session(tmpdir)
-    adapter = SessionAdapter(
-        sd,
-        AdapterOptions(estimate_readout=True, estimate_cam_time_offset=True),
-        log=lambda *a: None,
-    )
-    return adapter.build()
+    def _build():
+        from visual_inertial_bundle_adjustment_tpu.pipeline import (
+            session_data as sio,
+        )
+        from visual_inertial_bundle_adjustment_tpu.pipeline.adapter import (
+            AdapterOptions,
+            SessionAdapter,
+        )
+        from visual_inertial_bundle_adjustment_tpu.pipeline.synthetic import (
+            SyntheticSession,
+        )
+        from visual_inertial_bundle_adjustment_tpu.pipeline.synthetic_io import (
+            write_session_dir,
+        )
+
+        s = SyntheticSession(
+            duration=FULL_DURATION, keyframe_hz=KEYFRAME_HZ, gyro_hz=800.0,
+            accel_hz=800.0, num_points=FULL_POINTS, seed=23, pixel_noise=0.3,
+            track_lifetime_sec=TRACK_LIFETIME,
+        )
+        write_session_dir(s, tmpdir, num_imus=2, readout_time_sec=0.03,
+                          seed=23)
+        sd = sio.load_session(tmpdir)
+        adapter = SessionAdapter(
+            sd,
+            AdapterOptions(estimate_readout=True,
+                           estimate_cam_time_offset=True),
+            log=lambda *a: None,
+        )
+        return adapter.build()
+
+    return _problem_cache(
+        f"full_{FULL_DURATION:g}_{KEYFRAME_HZ:g}_{FULL_POINTS}_"
+        f"{TRACK_LIFETIME:g}", _build)
 
 
 CAP_DURATION = 1800.0  # 30-minute capacity config (reference README.md:10-11)
@@ -116,26 +202,35 @@ def build_capacity_problem(duration=None, keyframe_hz=None, points=None):
     18k rigs), 360 calibration windows, finite-lifetime tracks, IMU calib
     random-walking — the capacity claim of the reference (README.md:10-11)
     on ONE chip."""
-    from visual_inertial_bundle_adjustment_tpu.pipeline.builder import (
-        BuildOptions,
-        build_synthetic_problem,
-    )
-    from visual_inertial_bundle_adjustment_tpu.pipeline.synthetic import SyntheticSession
+    duration = duration or CAP_DURATION
+    keyframe_hz = keyframe_hz or CAP_KEYFRAME_HZ
+    points = points or CAP_POINTS
 
-    s = SyntheticSession(
-        duration=duration or CAP_DURATION,
-        keyframe_hz=keyframe_hz or CAP_KEYFRAME_HZ, gyro_hz=150.0,
-        accel_hz=150.0, num_points=points or CAP_POINTS, seed=31,
-        pixel_noise=0.3, track_lifetime_sec=12.0,
-    )
-    return build_synthetic_problem(
-        s,
-        BuildOptions(
-            init_pose_noise=0.005, init_point_noise=0.03, init_vel_noise=0.03,
-            estimate_imu_calib=True,
-            imu_calib_options=dict(accelBias=True, gyroBias=True),
-        ),
-    )
+    def _build():
+        from visual_inertial_bundle_adjustment_tpu.pipeline.builder import (
+            BuildOptions,
+            build_synthetic_problem,
+        )
+        from visual_inertial_bundle_adjustment_tpu.pipeline.synthetic import (
+            SyntheticSession,
+        )
+
+        s = SyntheticSession(
+            duration=duration, keyframe_hz=keyframe_hz, gyro_hz=150.0,
+            accel_hz=150.0, num_points=points, seed=31,
+            pixel_noise=0.3, track_lifetime_sec=12.0,
+        )
+        return build_synthetic_problem(
+            s,
+            BuildOptions(
+                init_pose_noise=0.005, init_point_noise=0.03,
+                init_vel_noise=0.03, estimate_imu_calib=True,
+                imu_calib_options=dict(accelBias=True, gyroBias=True),
+            ),
+        )
+
+    return _problem_cache(
+        f"cap_{duration:g}_{keyframe_hz:g}_{points}", _build)
 
 
 def _device_peak_hbm_gb():
