@@ -41,9 +41,13 @@ from . import segments as seg
 from .visual_fused import _PROJ, _pad_rows, _small_gather, MIN_Z
 
 # bf16 split count for the in-kernel table gathers (pose / point / RS
-# slab): 2 splits keep ~16 mantissa bits (~1.5e-5 relative) at 2/3 the
-# MXU cost of the exact 3-split (PERF_NOTES round-4+ candidate #2).
-GATHER_SPLITS = 2
+# slab). These gathers fetch PRIMAL world-frame values: 2 splits keep only
+# ~16 mantissa bits, i.e. ~1.5e-5 RELATIVE of coordinates that are tens of
+# meters — an absolute position error of ~1e-4 m that projection amplifies
+# (focal/depth ~ 200 px/m) to ~3e-3 px of residual error, 30x over the
+# kernel's 1e-4 accuracy bound (measured on-chip, round 5). Primal gathers
+# must stay exact: 3 splits.
+GATHER_SPLITS = 3
 
 # ---------------------------------------------------------------------------
 # componentized quaternion / motion-integral helpers on lane vectors
@@ -147,11 +151,9 @@ def _rs_kernel(kind, rb, nhw, nhg, K, with_jac, with_cal, *refs):
 
     # --- gathers (all lane-major; see visual_fused._visual_kernel) ---
     ohr = seg._oh_t(rloc_ref[0, 0], rb).astype(jnp.bfloat16)
-    # 2-split bf16 gathers (~1.5e-5 relative rounding of primal values,
-    # well inside the kernel's 1e-4 res / 3e-4 J accuracy bounds and below
-    # the bf16-J matvec rounding the solve already carries): 1/3 off the
-    # MXU cycles of every table gather in BOTH the linearize and the
-    # residual-only (comparable-cost) passes
+    # exact 3-split gathers for PRIMAL values (see GATHER_SPLITS above —
+    # 2 splits measured 3.6e-3 px of residual error on-chip, 30x over the
+    # kernel's 1e-4 bound, because world coordinates are tens of meters)
     PG = seg._sel_dot(pose_ref[pl.ds(base, rb), :], ohr, ((0,), (0,)),
                       n=GATHER_SPLITS)
     Tq0 = (PG[0, :], PG[1, :], PG[2, :], PG[3, :])
