@@ -452,7 +452,7 @@ def _run_rs(camera_kind, data, v, masks, info, with_jac, with_cal):
                 const((6 * nhg, 128)),
                 const((nwp, nin)),
                 const((nep, 13)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=tuple(out_specs),
             scratch_shapes=[
