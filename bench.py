@@ -361,13 +361,46 @@ def timed_iterations(problem, n_iters, pcg_iters=40):
     dtype = v.points.dtype
     lam = jnp.asarray(1e-4, dtype)
     k_iter = getattr(problem, "_k_iter", None)
+    k_carry = getattr(problem, "_k_carry", None)
 
-    if k_iter is not None:
-        # whole LM iteration in ONE jit call (one tunnel round-trip), the
-        # same path optimize() takes
+    if k_carry is not None:
+        # carry chain — the path optimize() takes on the accept fast path:
+        # each call solves from the carried (lg, asm), retracts, and
+        # linearizes+assembles at v_new for the NEXT link; comparable cost
+        # is bookkeeping over the two linearizations (no res-only pass).
+        # The bigger fused program can hit compile limits at capacity
+        # scales where k_iter still fits — degrade exactly like optimize()
+        try:
+            lg0 = k_lin(datas, v, masks, None)
+            asm0 = k_assemble(datas, lg0, v, masks)
+
+            def one_iter(state):
+                v1, lg1, asm1 = state
+                out, lg2, asm2 = k_carry(datas, lg1, asm1, v1, masks, lam,
+                                         pcg_iters, 1e-10)
+                return (out[7], lg2, asm2), out[9]
+
+            state0 = (v, lg0, asm0)
+            s2, stats = one_iter(state0)  # compiles the carry program
+        except Exception as e:  # noqa: BLE001
+            from visual_inertial_bundle_adjustment_tpu.problem.optimizer import (
+                _is_compile_failure,
+            )
+
+            if not _is_compile_failure(e):
+                raise
+            _note(f"carry iteration failed to compile ({type(e).__name__});"
+                  " falling back to k_iter")
+            k_carry = None
+    if k_carry is not None:
+        pass  # one_iter/state0 set above
+    elif k_iter is not None:
+        # whole LM iteration in ONE jit call (one tunnel round-trip)
         def one_iter(v):
             _, _, out = k_iter(datas, v, masks, None, lam, pcg_iters, 1e-10)
             return out[7], out[9]
+
+        state0 = v
     else:
         def one_iter(v):
             lg = k_lin(datas, v, masks, None)
@@ -375,6 +408,8 @@ def timed_iterations(problem, n_iters, pcg_iters=40):
             out = k_step(asm, datas, lg, v, masks, lam, pcg_iters, 1e-10)
             v2, stats = out[7], out[9]
             return v2, stats
+
+        state0 = v
 
     # warmup/compile — TWO chained calls: the first compiles at the
     # fresh-variables signature, the second at the jit-output signature the
@@ -387,12 +422,12 @@ def timed_iterations(problem, n_iters, pcg_iters=40):
     # (observed: a fantasy 262 it/s at the full-sensor shape). float() of
     # the last iteration's cost depends on the whole chain -> real sync;
     # its single ~50 ms RPC amortizes across the iterations.
-    v2, stats = one_iter(v)
-    v2, stats = one_iter(v2)
+    s2, stats = one_iter(state0)
+    s2, stats = one_iter(s2)
     float(stats.cost)
     t0 = time.time()
     for _ in range(n_iters):
-        v2, stats = one_iter(v2)
+        s2, stats = one_iter(s2)
     cost = float(stats.cost)  # sync: depends on every chained iteration
     dt = (time.time() - t0) / n_iters
     return 1.0 / dt, cost

@@ -242,3 +242,37 @@ def test_chunked_linearize_matches(small_problem, monkeypatch):
     np.testing.assert_array_equal(np.asarray(chunked.valid), np.asarray(ref.valid))
     for Ja, Jb in zip(chunked.jac, ref.jac):
         np.testing.assert_allclose(np.asarray(Ja), np.asarray(Jb), atol=1e-14)
+
+
+@pytest.mark.slow
+def test_carry_iteration_matches_legacy_path():
+    """optimize()'s carry fast path (k_carry: solve from carried lg/asm +
+    linearize-at-v_new bookkeeping, optimizer.py) must walk the same LM
+    trajectory as the legacy k_iter path (res-only comparable_cost kernel).
+    Semantically identical by construction (engine.comparable_from_linearized
+    == comparable_cost when alive=None); this guards the wiring."""
+    s = SyntheticSession(duration=2.0, keyframe_hz=5.0, num_points=60, seed=7,
+                         pixel_noise=0.3)
+    opts = BuildOptions(init_pose_noise=0.005, init_point_noise=0.03,
+                        init_vel_noise=0.03)
+
+    def run(disable_carry):
+        traj = []
+        p = build_synthetic_problem(s, opts)
+        p._build()
+        if disable_carry:
+            p._k_carry = None
+        st = LMSettings(max_iterations=8, log=None,
+                        iteration_callback=lambda d: traj.append(
+                            (d["accepted"], d["cost"])))
+        summary = optimize(p, st)
+        return summary, traj
+
+    s_carry, t_carry = run(disable_carry=False)
+    s_legacy, t_legacy = run(disable_carry=True)
+    assert len(t_carry) == len(t_legacy)
+    for (acc_c, cost_c), (acc_l, cost_l) in zip(t_carry, t_legacy):
+        assert acc_c == acc_l
+        np.testing.assert_allclose(cost_c, cost_l, rtol=1e-9)
+    np.testing.assert_allclose(s_carry.final_cost, s_legacy.final_cost,
+                               rtol=1e-9)

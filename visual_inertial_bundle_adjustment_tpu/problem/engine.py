@@ -157,6 +157,36 @@ def comparable_cost(cfgs, datas, v: VariableTables, lg: LinearizedGraph) -> Cost
     return CostStats(total, n_inv, n_prev, n_tot)
 
 
+def comparable_from_linearized(cfgs, lg_old: LinearizedGraph,
+                               lg_new: LinearizedGraph) -> CostStats:
+    """`comparable_cost(v_new, lg_old)` derived from a full linearization at
+    v_new instead of the res-only kernel pass: pure bookkeeping over the two
+    linearizations' per-factor stored costs and validity — no residual
+    re-evaluation at all. Used by the carry iteration (optimizer k_carry),
+    which linearizes at v_new anyway (that linearization is next iteration's,
+    reference re-linearizes at every accepted point, Optimizer.cpp:809).
+
+    Exactly matches comparable_cost when both linearizations ran with
+    alive=None: stored_cost is `0.5*rho(|res|^2)*valid` per factor, valid0
+    the raw projection validity (Factor.h:391-417 semantics).
+    """
+    total = None
+    for cfg, st_old, v0_old, st_new, v0_new in zip(
+            cfgs, lg_old.stored_cost, lg_old.valid0,
+            lg_new.stored_cost, lg_new.valid0):
+        if fct.REGISTRY[cfg.kind]["optional"]:
+            prev_ok = v0_old > 0.5
+            now_ok = v0_new > 0.5
+            contrib = jnp.where(prev_ok, jnp.where(now_ok, st_new, st_old),
+                                0.0)
+            t = jnp.sum(contrib)
+        else:
+            t = jnp.sum(st_new)
+        total = t if total is None else total + t
+    return CostStats(total, lg_new.num_invalid, lg_old.num_invalid,
+                     lg_new.num_optional)
+
+
 def gradient_tangent(cfgs, datas, v, masks: Masks):
     """Exact robust-cost gradient at v via reverse-mode AD (used for the
     step-factor interpolation, reference Optimizer.cpp:917-930)."""

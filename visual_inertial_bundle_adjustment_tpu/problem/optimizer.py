@@ -100,6 +100,7 @@ class Problem:
         self.datas: list = []
         self._jits = None
         self._k_iter = None
+        self._k_carry = None
 
     def add_batch(self, cfg, data):
         import numpy as np
@@ -115,6 +116,7 @@ class Problem:
         self.datas.append(data)
         self._jits = None
         self._k_iter = None
+        self._k_carry = None
 
     # -- jitted kernels (built once per batch structure) --------------------
 
@@ -133,6 +135,7 @@ class Problem:
             from ..parallel.sharding import build_sharded_kernels
 
             self._k_iter = None
+            self._k_carry = None
             self._jits = build_sharded_kernels(self)
             return self._jits
 
@@ -273,6 +276,50 @@ class Problem:
             self._last_asm = asm
             return lg, asm, out
 
+        # carry iteration: the λ-independent assembly (RcsAsm) and the
+        # linearization both survive across host iterations — an accepted
+        # step carries (lg_next, asm_next) computed here at v_new, a
+        # rejected one re-passes (lg, asm) unchanged (the reference keeps
+        # grad/Hess fixed across damping retries, Optimizer.cpp:826-854).
+        # comparable_cost's res-only kernel pass is replaced by pure
+        # bookkeeping over the two linearizations' stored costs
+        # (engine.comparable_from_linearized), so the only per-factor work
+        # per iteration is ONE linearize + assemble + solve. alive is not
+        # threaded here: once dontRetryFailed engages, optimize() drops back
+        # to the k_iter path, whose comparable_cost carries the alive
+        # semantics exactly.
+        @partial(jax.jit, static_argnames=("max_iters", "precond"))
+        def k_carry_jit(datas, lg, asm, v, masks, lam, max_iters, rel_tol,
+                        precond="gauss_seidel"):
+            if blocked:
+                out = _rcs.solve_assembled(asm, v, masks, lam, max_iters,
+                                           rel_tol, precond)
+            else:
+                out = engine.solve_step(cfgs, datas, lg, v, masks, lam,
+                                        max_iters, rel_tol, precond=precond)
+            x_r, x_l, model_red, pcg_rel, pcg_it, rs, (g_r, g_l) = out
+            step_r, step_l = t_scale(x_r, -1.0), -x_l
+            v_new = retract(v, step_r, step_l, masks)
+            ratios = step_to_var_ratios(v, step_r, step_l)
+            lg_next = engine.linearize(cfgs, datas, v_new, masks, None)
+            asm_next = (_rcs.assemble(cfgs, datas, lg_next, v_new, masks)
+                        if blocked else jnp.zeros(()))
+            stats = engine.comparable_from_linearized(cfgs, lg, lg_next)
+            grad_norm = jnp.sqrt(t_dot(g_r, g_r) + jnp.vdot(g_l, g_l))
+            step_norm = jnp.sqrt(t_dot(step_r, step_r)
+                                 + jnp.vdot(step_l, step_l))
+            return ((x_r, x_l, model_red, pcg_rel, pcg_it, rs, (g_r, g_l),
+                     v_new, ratios, stats, grad_norm, step_norm),
+                    lg_next, asm_next)
+
+        def k_carry(datas, lg, asm, v, masks, lam, max_iters, rel_tol,
+                    precond="gauss_seidel"):
+            out, lg_next, asm_next = k_carry_jit(
+                datas, lg, asm, v, masks, lam, max_iters, rel_tol, precond)
+            self._last_asm = asm
+            return out, lg_next, asm_next
+
+        self._k_carry = k_carry
         self._k_iter = k_iter
         self._jits = (k_linearize, k_solve, k_resolve, k_cost, k_grad, k_retract,
                       k_assemble, k_step)
@@ -319,37 +366,72 @@ def optimize(problem: Problem, settings: LMSettings) -> Summary:
     initial_cost = None
     final_cost = None
 
+    carry = None  # (lg, asm) at the current v, produced by a k_carry call
+
     while True:
         t_it = time.time()
         if settings.pre_step_callback is not None:
             settings.pre_step_callback(iteration, problem)
             datas = tuple(problem.datas)
+            carry = None  # the callback may mutate factor data in place
 
-        k_iter = getattr(problem, "_k_iter", None)
-        if k_iter is not None:
-            # whole iteration in ONE jit call (one tunnel round-trip)
+        # carry path: reuse the linearization+assembly carried from the
+        # previous iteration (accepted step: computed at v_new inside
+        # k_carry; rejected step: unchanged — the reference equally keeps
+        # grad/Hess across damping retries, Optimizer.cpp:826-854). Once
+        # dontRetryFailed engages, fall back to the k_iter path whose
+        # comparable_cost threads the alive mask exactly.
+        k_carry = getattr(problem, "_k_carry", None)
+        use_carry = k_carry is not None and not dont_retry_failed
+        lg_next = asm_next = None
+        v_new_from_carry = False
+        if use_carry:
             try:
-                lg, asm, out0 = k_iter(
-                    datas, v, masks, alive if dont_retry_failed else None,
-                    jnp.asarray(damping), pcg_iters, settings.pcg_tol,
-                    settings.preconditioner)
+                if carry is None:
+                    lg = k_lin(datas, v, masks, None)
+                    asm = k_assemble(datas, lg, v, masks)
+                else:
+                    lg, asm = carry
+                out0, lg_next, asm_next = k_carry(
+                    datas, lg, asm, v, masks, jnp.asarray(damping),
+                    pcg_iters, settings.pcg_tol, settings.preconditioner)
+                v_new_from_carry = True
             except Exception as e:  # noqa: BLE001
                 if iteration > 0 or not _is_compile_failure(e):
                     raise
-                # the fused whole-iteration program can exceed compile-time
-                # limits (e.g. the scoped-VMEM stack) at scales where the
-                # smaller split programs still fit; a user session must
-                # degrade to the split dispatch, not die (BENCH_r04 OOM at
-                # 21.6k rigs — the reference's PCG-switch scale,
-                # Settings.cpp:296-320)
-                log(f" ?:# one-jit iteration failed to compile "
-                    f"({type(e).__name__}); falling back to split dispatch")
-                problem._k_iter = None
-                k_iter = None
-        if k_iter is None:
-            lg = k_lin(datas, v, masks, alive if dont_retry_failed else None)
-            asm = k_assemble(datas, lg, v, masks)
-            out0 = None
+                log(f" ?:# carry iteration failed to compile "
+                    f"({type(e).__name__}); falling back")
+                problem._k_carry = None
+                use_carry = False
+                carry = None
+
+        if not use_carry:
+            k_iter = getattr(problem, "_k_iter", None)
+            if k_iter is not None:
+                # whole iteration in ONE jit call (one tunnel round-trip)
+                try:
+                    lg, asm, out0 = k_iter(
+                        datas, v, masks, alive if dont_retry_failed else None,
+                        jnp.asarray(damping), pcg_iters, settings.pcg_tol,
+                        settings.preconditioner)
+                except Exception as e:  # noqa: BLE001
+                    if iteration > 0 or not _is_compile_failure(e):
+                        raise
+                    # the fused whole-iteration program can exceed
+                    # compile-time limits (e.g. the scoped-VMEM stack) at
+                    # scales where the smaller split programs still fit; a
+                    # user session must degrade to the split dispatch, not
+                    # die (BENCH_r04 OOM at 21.6k rigs — the reference's
+                    # PCG-switch scale, Settings.cpp:296-320)
+                    log(f" ?:# one-jit iteration failed to compile "
+                        f"({type(e).__name__}); falling back to split dispatch")
+                    problem._k_iter = None
+                    k_iter = None
+            if k_iter is None:
+                lg = k_lin(datas, v, masks,
+                           alive if dont_retry_failed else None)
+                asm = k_assemble(datas, lg, v, masks)
+                out0 = None
         if dont_retry_failed:
             alive = lg.valid0
 
@@ -359,10 +441,16 @@ def optimize(problem: Problem, settings: LMSettings) -> Summary:
         # scalar of the attempt.
         while True:
             if out0 is None:
-                out0 = k_step(
-                    asm, datas, lg, v, masks, jnp.asarray(damping), pcg_iters,
-                    settings.pcg_tol, settings.preconditioner,
-                )
+                if use_carry:
+                    out0, lg_next, asm_next = k_carry(
+                        datas, lg, asm, v, masks, jnp.asarray(damping),
+                        pcg_iters, settings.pcg_tol, settings.preconditioner)
+                    v_new_from_carry = True
+                else:
+                    out0 = k_step(
+                        asm, datas, lg, v, masks, jnp.asarray(damping),
+                        pcg_iters, settings.pcg_tol, settings.preconditioner,
+                    )
             (x_r, x_l, model_red, pcg_rel, pcg_it, rs, (g_r, g_l), v_new,
              (ratio_inf, ratio_2), stats, grad_norm, step_norm) = out0
             out0 = None
@@ -417,6 +505,7 @@ def optimize(problem: Problem, settings: LMSettings) -> Summary:
             )
             for _ in range(settings.max_step_factor_attempts):
                 applied_step_factor *= step_factor
+                v_new_from_carry = False  # carried lg_next is for the unscaled step
                 v_new, (ratio_inf, ratio_2) = k_retract(
                     v, step_r, step_l, masks, jnp.asarray(applied_step_factor)
                 )
@@ -471,7 +560,8 @@ def optimize(problem: Problem, settings: LMSettings) -> Summary:
                 troubled_seq_start = iteration
             smiley = ":'("
             damping *= settings.damping_adjust_on_fail
-            # v unchanged (functional restore)
+            # v unchanged (functional restore); lg/asm stay valid at v
+            carry = (lg, asm) if use_carry else None
             if damping > settings.damping_max:
                 log("damping out of range, quadratic model failing?!")
                 iteration += 1
@@ -497,6 +587,10 @@ def optimize(problem: Problem, settings: LMSettings) -> Summary:
                 damping *= settings.damping_adjust_on_average_step
             v = v_new
             final_cost = new_cost
+            # accepted unscaled step: (lg_next, asm_next) were linearized at
+            # exactly this v inside k_carry — next iteration skips linearize
+            carry = ((lg_next, asm_next)
+                     if (v_new_from_carry and lg_next is not None) else None)
 
         iteration += 1
         dt = time.time() - t_it
